@@ -31,7 +31,8 @@ def automorphism_ntt_index(n: int, nth_root: int, gal_el: int) -> np.ndarray:
     (ring/automorphism.go:12-34): out[i] = in[index[i]]."""
     if n & (n - 1) or nth_root & (nth_root - 1):
         raise ValueError("N and NthRoot must be powers of two")
-    log_nth = nth_root.bit_length() - 1
+    # bits.Len64(NthRoot-1) - 1 == log2(NthRoot) - 1 (ring/automorphism.go:23)
+    log_nth = (nth_root - 1).bit_length() - 1
     mask = nth_root - 1
     i = np.arange(n, dtype=np.uint64)
     tmp1 = 2 * _bit_reverse_array(i, log_nth) + 1
