@@ -1,0 +1,160 @@
+"""CKKS encoder: canonical embedding <-> RNS polynomials.
+
+Counterpart of /root/reference/schemes/ckks/encoder.go and
+ckks_vector_ops.go.  The special (I)FFT uses the 5^j rotation-group index so
+slot j holds the evaluation at the primitive 2N-th root zeta^{5^j}, giving the
+standard CKKS slot semantics (rotations = slot shifts, conjugation = complex
+conjugate).  Host-side float64 (PREC64 mode); the arbitrary-precision PREC128
+variant (encoder.go:325 embedArbitrary) is deferred.
+
+Layout (full slots): real parts -> coefficients [0, N/2), imaginary parts ->
+[N/2, N) (schemes/ckks/utils.go:128-147), then forward NTT.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import jax.numpy as jnp
+from fractions import Fraction
+
+from matrix_fhe_tpu.ops import modmath as mm
+from matrix_fhe_tpu.ops import rings as rg
+from matrix_fhe_tpu.rlwe.elements import MetaData, Plaintext
+from matrix_fhe_tpu.schemes.ckks.params import CKKSParameters
+
+
+class Encoder:
+    def __init__(self, params: CKKSParameters):
+        self.params = params
+        m = params.nth_root
+        self.m = m
+        n_group = m >> 2
+        rot = np.empty(n_group, dtype=np.int64)
+        five = 1
+        for i in range(n_group):
+            rot[i] = five
+            five = (five * 5) & (m - 1)
+        self.rot_group = rot
+        self.roots = np.exp(2j * np.pi * np.arange(m + 1) / m)
+
+    # -- special FFTs (ckks_vector_ops.go:18-77) ---------------------------
+    def special_ifft(self, values: np.ndarray) -> np.ndarray:
+        v = values.astype(np.complex128).copy()
+        n = len(v)
+        logn = (n - 1).bit_length()
+        logm = (self.m - 1).bit_length()
+        for loglen in range(logn, 0, -1):
+            ln = 1 << loglen
+            lenh, lenq = ln >> 1, ln << 2
+            log_gap = logm - 2 - loglen
+            mask = lenq - 1
+            idx = (lenq - (self.rot_group[:lenh] & mask)) << log_gap
+            w = self.roots[idx]
+            blocks = v.reshape(-1, ln)
+            a, b = blocks[:, :lenh], blocks[:, lenh:]
+            blocks[:, :lenh], blocks[:, lenh:] = a + b, (a - b) * w[None, :]
+        v /= n
+        return v[_bit_reverse_perm(n)]
+
+    def special_fft(self, values: np.ndarray) -> np.ndarray:
+        v = values.astype(np.complex128)[_bit_reverse_perm(len(values))]
+        n = len(v)
+        logn = (n - 1).bit_length()
+        logm = (self.m - 1).bit_length()
+        for loglen in range(1, logn + 1):
+            ln = 1 << loglen
+            lenh, lenq = ln >> 1, ln << 2
+            log_gap = logm - 2 - loglen
+            mask = lenq - 1
+            w = self.roots[(self.rot_group[:lenh] & mask) << log_gap]
+            blocks = v.reshape(-1, ln)
+            a, b = blocks[:, :lenh], blocks[:, lenh:] * w[None, :]
+            blocks[:, :lenh], blocks[:, lenh:] = a + b, a - b
+        return v
+
+    # -- encode / decode ----------------------------------------------------
+    def encode(self, values, level: int | None = None, scale=None,
+               is_ntt: bool = True) -> Plaintext:
+        """Encode -> Embed (encoder.go:141-323), full slots."""
+        params = self.params
+        level = params.max_level if level is None else level
+        scale = Fraction(params.default_scale if scale is None else scale)
+        slots = params.max_slots
+        vals = np.zeros(slots, dtype=np.complex128)
+        values = np.asarray(values)
+        if params.ring_type == rg.CONJUGATE_INVARIANT:
+            vals[: len(values)] = np.real(values)
+        else:
+            vals[: len(values)] = values
+        w = self.special_ifft(vals)
+
+        sf = float(scale)
+        if params.ring_type == rg.CONJUGATE_INVARIANT:
+            reals = np.real(w)
+        else:
+            reals = np.concatenate([np.real(w), np.imag(w)])
+        coeffs = [round(x * sf) for x in reals]  # exact Python rounding
+        moduli = params.q[: level + 1]
+        limbs = np.array([[c % q for c in coeffs] for q in moduli], dtype=np.uint64)
+
+        md = MetaData(scale=scale, is_ntt=is_ntt,
+                      log_dimensions=(0, params.log_max_slots))
+        p = mm.u64(limbs)
+        if is_ntt:
+            p = params.ring_q.at_level(level).ntt(p)
+        return Plaintext(value=p, metadata=md)
+
+    def decode(self, pt: Plaintext) -> np.ndarray:
+        """Decode (encoder.go:177): INTT, CRT-reconstruct centered big ints,
+        divide by scale, special FFT."""
+        params = self.params
+        level = pt.level
+        ring = params.ring_q.at_level(level)
+        v = pt.value
+        if pt.metadata.is_ntt:
+            v = ring.intt(v)
+        arr = np.asarray(v)
+        coeffs = crt_reconstruct_centered(arr, params.q[: level + 1])
+        sf = float(pt.metadata.scale)
+        slots = params.max_slots
+        if params.ring_type == rg.CONJUGATE_INVARIANT:
+            re = np.array([float(c) / sf for c in coeffs[:slots]])
+            w = re.astype(np.complex128)
+            # [X]/(X^N+1) -> [X+X^-1]/(X^N+1) (encoder.go:940-946)
+            w[1:] -= 1j * re[slots - 1:0:-1]
+        else:
+            re = np.array([float(c) / sf for c in coeffs[:slots]])
+            im = np.array([float(c) / sf for c in coeffs[slots: 2 * slots]])
+            w = re + 1j * im
+        return self.special_fft(w)
+
+
+def crt_reconstruct_centered(limbs: np.ndarray, moduli: list[int]) -> list[int]:
+    """Centered CRT reconstruction (ring/ring.go:503 PolyToBigintCentered)."""
+    Q = 1
+    for q in moduli:
+        Q *= q
+    basis = []
+    for q in moduli:
+        qs = Q // q
+        basis.append(qs * pow(qs % q, q - 2, q))
+    n = limbs.shape[-1]
+    out = []
+    half = Q >> 1
+    for j in range(n):
+        acc = 0
+        for i, q in enumerate(moduli):
+            acc += int(limbs[i, j]) * basis[i]
+        acc %= Q
+        out.append(acc - Q if acc > half else acc)
+    return out
+
+
+def _bit_reverse_perm(n: int) -> np.ndarray:
+    logn = (n - 1).bit_length()
+    idx = np.arange(n)
+    out = np.zeros(n, dtype=np.int64)
+    for _ in range(logn):
+        out = (out << 1) | (idx & 1)
+        idx >>= 1
+    return out

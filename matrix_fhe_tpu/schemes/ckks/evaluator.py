@@ -1,0 +1,247 @@
+"""CKKS evaluator.
+
+Counterpart of /root/reference/schemes/ckks/evaluator.go:
+
+  * add/sub with scale matching (:66-245 matchScaleThenEvaluateInPlace —
+    when scales differ by an integer ratio, the lower-scale operand is
+    multiplied by it first)
+  * mul / mul_relin: ciphertext tensor in the NTT domain (:764-918)
+  * rescale: DivRoundByLastModulusManyNTT, scale /= q_l (:500-542)
+  * rotate / conjugate via Galois automorphisms (:1195-1232)
+  * mul_plain / add_plain, scalar ops, inner_sum (:1284-1321)
+"""
+
+from __future__ import annotations
+
+from fractions import Fraction
+
+import jax.numpy as jnp
+
+from matrix_fhe_tpu.ops import rns_tools as rt
+from matrix_fhe_tpu.rlwe import evaluator as rlwe_eval
+from matrix_fhe_tpu.rlwe.elements import Ciphertext, Plaintext
+from matrix_fhe_tpu.rlwe.keys import GaloisKey, RelinearizationKey
+from matrix_fhe_tpu.schemes.ckks.params import CKKSParameters
+
+
+class Evaluator:
+    """Stateless; holds parameters and the key set (relin + galois keys)."""
+
+    def __init__(self, params: CKKSParameters,
+                 rlk: RelinearizationKey | None = None,
+                 galois_keys: dict[int, GaloisKey] | None = None):
+        self.params = params
+        self.rlk = rlk
+        self.gks = galois_keys or {}
+
+    # -- helpers -------------------------------------------------------------
+    def _ring(self, level: int):
+        return self.params.ring_q.at_level(level)
+
+    def _match(self, a: Ciphertext, b: Ciphertext):
+        """Level + scale alignment (evaluator.go:66-245)."""
+        level = min(a.level, b.level)
+        a, b = self._drop_level(a, level), self._drop_level(b, level)
+        if a.scale == b.scale:
+            return a, b, a.scale
+        lo, hi = (a, b) if a.scale < b.scale else (b, a)
+        ratio = hi.scale / lo.scale
+        if ratio.denominator != 1:
+            raise ValueError(f"scales incompatible: ratio {ratio} not integer")
+        lo = self._mul_integer(lo, int(ratio)).with_metadata(scale=hi.scale)
+        return (lo, hi, hi.scale) if a.scale < b.scale else (hi, lo, hi.scale)
+
+    def _drop_level(self, ct: Ciphertext, level: int) -> Ciphertext:
+        if ct.level == level:
+            return ct
+        return ct.with_value(tuple(v[..., : level + 1, :] for v in ct.value))
+
+    def _mul_integer(self, ct: Ciphertext, c: int) -> Ciphertext:
+        ring = self._ring(ct.level)
+        sc = jnp.array([(c % q) * (1 << 64) % q for q in ring.moduli_tuple],
+                       dtype=jnp.uint64)  # MForm(c) per limb
+        return ct.with_value(tuple(ring.mul_scalar_montgomery(v, sc)
+                                   for v in ct.value))
+
+    # -- linear ops ------------------------------------------------------------
+    def add(self, a: Ciphertext, b) -> Ciphertext:
+        if isinstance(b, Plaintext):
+            return self.add_plain(a, b)
+        a, b, scale = self._match(a, b)
+        ring = self._ring(a.level)
+        d = max(a.degree, b.degree)
+        va = list(a.value) + [None] * (d - a.degree)
+        vb = list(b.value) + [None] * (d - b.degree)
+        out = tuple(x if y is None else (y if x is None else ring.add(x, y))
+                    for x, y in zip(va, vb))
+        return a.with_value(out).with_metadata(scale=scale)
+
+    def sub(self, a: Ciphertext, b) -> Ciphertext:
+        if isinstance(b, Plaintext):
+            return self.add_plain(a, Plaintext(value=self._ring(b.level).neg(b.value),
+                                               metadata=b.metadata))
+        a, b, scale = self._match(a, b)
+        ring = self._ring(a.level)
+        d = max(a.degree, b.degree)
+        va = list(a.value) + [None] * (d - a.degree)
+        vb = list(b.value) + [None] * (d - b.degree)
+        out = tuple((ring.neg(y) if x is None else
+                     (x if y is None else ring.sub(x, y)))
+                    for x, y in zip(va, vb))
+        return a.with_value(out).with_metadata(scale=scale)
+
+    def neg(self, a: Ciphertext) -> Ciphertext:
+        ring = self._ring(a.level)
+        return a.with_value(tuple(ring.neg(v) for v in a.value))
+
+    def add_plain(self, a: Ciphertext, pt: Plaintext) -> Ciphertext:
+        level = min(a.level, pt.level)
+        a = self._drop_level(a, level)
+        ring = self._ring(level)
+        ptv = pt.value[..., : level + 1, :]
+        if pt.scale != a.scale:
+            ratio = a.scale / pt.scale
+            if ratio.denominator != 1:
+                raise ValueError("plaintext scale incompatible")
+            sc = ring.mform(ring._scalar_limbs(int(ratio)))
+            ptv = ring.mul_scalar_montgomery(ptv, sc)
+        return a.with_value((ring.add(a.value[0], ptv),) + a.value[1:])
+
+    # -- multiplication ---------------------------------------------------------
+    def mul(self, a: Ciphertext, b) -> Ciphertext:
+        """Tensor without relinearization -> degree-2 ct (evaluator.go:630)."""
+        if isinstance(b, Plaintext):
+            return self.mul_plain(a, b)
+        a, b = self._drop_level(a, min(a.level, b.level)), None if b is None else b
+        return self._tensor(a, b, relin=False)
+
+    def mul_relin(self, a: Ciphertext, b) -> Ciphertext:
+        if isinstance(b, Plaintext):
+            return self.mul_plain(a, b)
+        return self._tensor(a, b, relin=True)
+
+    def _tensor(self, a: Ciphertext, b: Ciphertext, relin: bool) -> Ciphertext:
+        """mulRelin (evaluator.go:786-918): NTT-domain tensor product."""
+        level = min(a.level, b.level)
+        a, b = self._drop_level(a, level), self._drop_level(b, level)
+        if a.degree != 1 or b.degree != 1:
+            raise ValueError("tensor expects degree-1 inputs")
+        ring = self._ring(level)
+        a0 = ring.mform(a.value[0])
+        a1 = ring.mform(a.value[1])
+        c0 = ring.mul_coeffs_montgomery(a0, b.value[0])
+        c1 = ring.add(ring.mul_coeffs_montgomery(a0, b.value[1]),
+                      ring.mul_coeffs_montgomery(a1, b.value[0]))
+        c2 = ring.mul_coeffs_montgomery(a1, b.value[1])
+        scale = a.scale * b.scale
+        ct = Ciphertext(value=(c0, c1, c2),
+                        metadata=a.metadata).with_metadata(scale=scale)
+        if relin:
+            if self.rlk is None:
+                raise ValueError("no relinearization key")
+            ct = rlwe_eval.relinearize(self.params, ct, self.rlk)
+        return ct
+
+    def mul_plain(self, a: Ciphertext, pt: Plaintext) -> Ciphertext:
+        level = min(a.level, pt.level)
+        a = self._drop_level(a, level)
+        ring = self._ring(level)
+        ptm = ring.mform(pt.value[..., : level + 1, :])
+        out = tuple(ring.mul_coeffs_montgomery(v, ptm) for v in a.value)
+        return a.with_value(out).with_metadata(scale=a.scale * pt.scale)
+
+    def mul_const(self, a: Ciphertext, c) -> Ciphertext:
+        """Multiply by a real scalar, scaled by the default scale
+        (evaluateWithScalar, evaluator.go:433; real path)."""
+        if isinstance(c, int):
+            return self._mul_integer(a, c)
+        scale = self.params.default_scale
+        ci = round(float(c) * float(scale))
+        out = self._mul_integer(a, ci)
+        return out.with_metadata(scale=a.scale * scale)
+
+    # -- rescaling ---------------------------------------------------------------
+    def rescale(self, a: Ciphertext) -> Ciphertext:
+        """Divide by the last modulus (evaluator.go:500-542)."""
+        level = a.level
+        if level == 0:
+            raise ValueError("cannot rescale: level 0")
+        ring = self._ring(level)
+        out = tuple(rt.div_round_by_last_modulus_ntt(ring, v) if a.metadata.is_ntt
+                    else rt.div_round_by_last_modulus(ring, v) for v in a.value)
+        scale = a.scale / Fraction(self.params.q[level])
+        return a.with_value(out).with_metadata(scale=scale)
+
+    def rescale_to_default(self, a: Ciphertext) -> Ciphertext:
+        """RescaleTo(default/2 bound) (evaluator.go:543-612): rescale while
+        scale >= minScale * q_l."""
+        min_scale = self.params.default_scale / 2
+        ct = a
+        while ct.level > 0 and ct.scale / Fraction(self.params.q[ct.level]) >= min_scale:
+            ct = self.rescale(ct)
+        return ct
+
+    # -- rotations ------------------------------------------------------------------
+    def rotate(self, a: Ciphertext, k: int) -> Ciphertext:
+        """Rotate slots left by k (evaluator.go:1202)."""
+        gal_el = self.params.galois_element(k)
+        return self._automorphism(a, gal_el)
+
+    def conjugate(self, a: Ciphertext) -> Ciphertext:
+        if self.params.ring_type == "conjugate_invariant":
+            raise ValueError("undefined on the conjugate-invariant ring")
+        return self._automorphism(a, self.params.galois_element_inverse())
+
+    def _automorphism(self, a: Ciphertext, gal_el: int) -> Ciphertext:
+        if gal_el == 1:
+            return a
+        gk = self.gks.get(gal_el)
+        if gk is None:
+            raise ValueError(f"missing Galois key for element {gal_el}")
+        return rlwe_eval.automorphism(self.params, a, gk)
+
+    def rotate_hoisted(self, a: Ciphertext, ks: list[int]) -> dict[int, Ciphertext]:
+        """RotateHoisted (evaluator.go:1245): one decomposition, many rotations."""
+        digits = rlwe_eval.decompose_ntt(self.params, a.level, a.value[1])
+        out = {}
+        for k in ks:
+            gal_el = self.params.galois_element(k)
+            if gal_el == 1:
+                out[k] = a
+                continue
+            gk = self.gks.get(gal_el)
+            if gk is None:
+                raise ValueError(f"missing Galois key for rotation {k}")
+            out[k] = rlwe_eval.automorphism_hoisted(self.params, a, digits, gk)
+        return out
+
+    def inner_sum(self, a: Ciphertext, batch: int, n: int) -> Ciphertext:
+        """InnerSum (core/rlwe/inner_sum.go:316): out slot i = sum_{j<n}
+        in slot (i + batch*j), via the binary recursion
+        f(2k) = f(k) + rot(f(k), batch*k); f(2k+1) = f(2k) + rot(a, batch*2k)."""
+        if n < 1:
+            raise ValueError("n must be >= 1")
+        result = None   # partial sum of m terms
+        m = 0
+        for bit in reversed(range(n.bit_length())):
+            if result is not None:
+                result = self.add(result, self.rotate(result, batch * m))
+                m *= 2
+            if (n >> bit) & 1:
+                result = a if result is None else self.add(a, self.rotate(result, batch))
+                m += 1
+        return result
+
+    def galois_elements_for_inner_sum(self, batch: int, n: int) -> list[int]:
+        els = set()
+        result_m = 0
+        for bit in reversed(range(n.bit_length())):
+            if result_m:
+                els.add(self.params.galois_element(batch * result_m))
+                result_m *= 2
+            if (n >> bit) & 1:
+                if result_m:
+                    els.add(self.params.galois_element(batch))
+                result_m += 1
+        els.discard(1)
+        return sorted(els)
