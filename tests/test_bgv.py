@@ -1,0 +1,107 @@
+"""BGV/BFV: exact integer SIMD arithmetic mod T.
+
+Mirrors /root/reference/schemes/bgv/bgv_test.go: exact slot comparison after
+decryption (test_utils.go)."""
+
+import numpy as np
+import pytest
+import jax
+
+from matrix_fhe_tpu import rlwe
+from matrix_fhe_tpu.rlwe import decryptor, encryptor, keys as K
+from matrix_fhe_tpu.schemes import bgv
+
+T = 65537
+
+
+@pytest.fixture(scope="module")
+def ctx():
+    params = bgv.new_parameters(bgv.BGVParametersLiteral(
+        logn=6, t=T, logq=(45, 40, 40), logp=(50,)))
+    enc = bgv.Encoder(params)
+    sk = K.gen_secret_key(jax.random.key(0), params)
+    rlk = K.gen_relinearization_key(jax.random.key(1), params, sk)
+    return params, enc, sk, rlk
+
+
+def _enc(ctx, vals, key):
+    params, enc, sk, _ = ctx
+    return encryptor.encrypt(jax.random.key(key), params, sk, enc.encode(vals))
+
+
+def _dec(ctx, ct):
+    params, enc, sk, _ = ctx
+    return enc.decode(decryptor.decrypt(params, sk, ct))
+
+
+def test_encode_decode(ctx):
+    params, enc, *_ = ctx
+    rng = np.random.default_rng(0)
+    v = rng.integers(0, T, params.n, dtype=np.uint64)
+    np.testing.assert_array_equal(enc.decode(enc.encode(v)), v)
+
+
+def test_encrypt_decrypt(ctx):
+    params, enc, sk, _ = ctx
+    rng = np.random.default_rng(1)
+    v = rng.integers(0, T, params.n, dtype=np.uint64)
+    np.testing.assert_array_equal(_dec(ctx, _enc(ctx, v, 2)), v)
+
+
+def test_add_sub(ctx):
+    params, *_ = ctx
+    ev = bgv.Evaluator(params)
+    rng = np.random.default_rng(2)
+    v1 = rng.integers(0, T, params.n, dtype=np.uint64)
+    v2 = rng.integers(0, T, params.n, dtype=np.uint64)
+    ct1, ct2 = _enc(ctx, v1, 3), _enc(ctx, v2, 4)
+    np.testing.assert_array_equal(_dec(ctx, ev.add(ct1, ct2)),
+                                  (v1.astype(object) + v2) % T)
+    np.testing.assert_array_equal(_dec(ctx, ev.sub(ct1, ct2)),
+                                  (v1.astype(object) - v2) % T)
+
+
+def test_mul_relin_rescale_bgv(ctx):
+    params, enc, sk, rlk = ctx
+    ev = bgv.Evaluator(params, rlk=rlk)
+    rng = np.random.default_rng(3)
+    v1 = rng.integers(0, T, params.n, dtype=np.uint64)
+    v2 = rng.integers(0, T, params.n, dtype=np.uint64)
+    ct1, ct2 = _enc(ctx, v1, 5), _enc(ctx, v2, 6)
+    ct3 = ev.rescale(ev.mul_relin(ct1, ct2))
+    np.testing.assert_array_equal(_dec(ctx, ct3), (v1.astype(object) * v2) % T)
+    # plaintext mul
+    ct4 = ev.mul(ct1, enc.encode(v2))
+    np.testing.assert_array_equal(_dec(ctx, ct4), (v1.astype(object) * v2) % T)
+    # addition after scale drift (scale matching)
+    ct5 = ev.add(ct3, ct1)
+    np.testing.assert_array_equal(_dec(ctx, ct5),
+                                  (v1.astype(object) * v2 + v1) % T)
+
+
+def test_mul_scale_invariant_bfv(ctx):
+    params, enc, sk, rlk = ctx
+    ev = bgv.Evaluator(params, rlk=rlk, scale_invariant=True)
+    rng = np.random.default_rng(4)
+    v1 = rng.integers(0, T, params.n, dtype=np.uint64)
+    v2 = rng.integers(0, T, params.n, dtype=np.uint64)
+    ct1, ct2 = _enc(ctx, v1, 7), _enc(ctx, v2, 8)
+    ct3 = ev.mul_relin(ct1, ct2)
+    assert ct3.level == ct1.level  # BFV keeps the level
+    np.testing.assert_array_equal(_dec(ctx, ct3), (v1.astype(object) * v2) % T)
+
+
+def test_rotation(ctx):
+    params, enc, sk, rlk = ctx
+    gels = [params.galois_element(1), params.galois_element_inverse()]
+    gks = K.gen_galois_keys(jax.random.key(9), params, sk, gels)
+    ev = bgv.Evaluator(params, rlk=rlk, galois_keys=gks)
+    rng = np.random.default_rng(5)
+    v = rng.integers(0, T, params.n, dtype=np.uint64)
+    ct = _enc(ctx, v, 10)
+    got = _dec(ctx, ev.rotate_columns(ct, 1))
+    half = params.n // 2
+    want = np.concatenate([np.roll(v[:half], -1), np.roll(v[half:], -1)])
+    np.testing.assert_array_equal(got, want)
+    got = _dec(ctx, ev.rotate_rows(ct))
+    np.testing.assert_array_equal(got, np.concatenate([v[half:], v[:half]]))
