@@ -36,12 +36,13 @@ def decompose_ntt(params: Parameters, level: int, cx: jnp.ndarray,
             for i in range(digits)]
 
 
-def gadget_product_hoisted(params: Parameters, level: int,
-                           digits: list[tuple[jnp.ndarray, jnp.ndarray]],
-                           gadget: GadgetCiphertext) -> tuple[jnp.ndarray, jnp.ndarray]:
-    """<decomp(cx), gadget> over Q after ModDown by P
-    (gadgetProductMultiplePLazy + ModDown, evaluator_gadget_product.go:16-60).
-    Returns (d0, d1) in the NTT domain over Q at ``level``."""
+def gadget_product_hoisted_lazy(params: Parameters, level: int,
+                                digits: list[tuple[jnp.ndarray, jnp.ndarray]],
+                                gadget: GadgetCiphertext):
+    """<decomp(cx), gadget> over the extended basis (Q, P) — the P-scaled
+    accumulator before ModDown (gadgetProductMultiplePLazy,
+    evaluator_gadget_product.go:123-190).  Returns (d0q, d1q, d0p, d1p);
+    the p parts are None when the parameter set has no auxiliary primes."""
     rq = params.ring_q.at_level(level)
     rp = params.ring_p
     lq = level + 1
@@ -65,13 +66,31 @@ def gadget_product_hoisted(params: Parameters, level: int,
             if rp is not None:
                 acc[2] = rp.add(acc[2], prod0p)
                 acc[3] = rp.add(acc[3], prod1p)
+    return acc
 
-    if rp is None:
-        return acc[0], acc[1]
+
+def mod_down_qp(params: Parameters, level: int, xq: jnp.ndarray,
+                xp: jnp.ndarray | None) -> jnp.ndarray:
+    """Divide a (Q, P) element by P -> Q (BasisExtender.ModDownQPtoQNTT,
+    ring/basis_extension.go:241)."""
+    if params.ring_p is None:
+        return xq
     mdc = params.moddown_constants(level, params.max_level_p)
-    d0 = rt.mod_down(acc[0], acc[2], mdc, rq, rp, ntt=True)
-    d1 = rt.mod_down(acc[1], acc[3], mdc, rq, rp, ntt=True)
-    return d0, d1
+    return rt.mod_down(xq, xp, mdc, params.ring_q.at_level(level),
+                       params.ring_p, ntt=True)
+
+
+def gadget_product_hoisted(params: Parameters, level: int,
+                           digits: list[tuple[jnp.ndarray, jnp.ndarray]],
+                           gadget: GadgetCiphertext) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """<decomp(cx), gadget> over Q after ModDown by P
+    (gadgetProductMultiplePLazy + ModDown, evaluator_gadget_product.go:16-60).
+    Returns (d0, d1) in the NTT domain over Q at ``level``."""
+    acc = gadget_product_hoisted_lazy(params, level, digits, gadget)
+    if params.ring_p is None:
+        return acc[0], acc[1]
+    return (mod_down_qp(params, level, acc[0], acc[2]),
+            mod_down_qp(params, level, acc[1], acc[3]))
 
 
 def gadget_product(params: Parameters, level: int, cx: jnp.ndarray,
@@ -119,6 +138,86 @@ def automorphism(params: Parameters, ct: Ciphertext, gk: GaloisKey) -> Ciphertex
         d0 = am.automorphism_coeff(rq, d0, gal_el)
         d1 = am.automorphism_coeff(rq, d1, gal_el)
     return ct.with_value((d0, d1))
+
+
+def p_scalar_mform(params: Parameters, level: int) -> jnp.ndarray:
+    """MForm(P mod q_i) per Q-limb — for the P-scaling of c0 in lazy
+    hoisted paths (MulScalarBigint with ringP.ModulusAtLevel)."""
+    big_p = params.big_p()
+    return jnp.array([(big_p << 64) % q for q in params.q[:level + 1]],
+                     dtype=jnp.uint64)
+
+
+def automorphism_hoisted_lazy(params: Parameters, ct: Ciphertext,
+                              digits: list[tuple[jnp.ndarray, jnp.ndarray]],
+                              gk: GaloisKey):
+    """AutomorphismHoistedLazy (evaluator_automorphism.go:107-160): returns
+    the rotated ciphertext modulo (Q, P), scaled by P:
+    (phi(P c0 + d0), phi(d1)) with (d0, d1) the lazy gadget product of c1."""
+    level = ct.level
+    rq = params.ring_q.at_level(level)
+    rp = params.ring_p
+    d0q, d1q, d0p, d1p = gadget_product_hoisted_lazy(params, level, digits,
+                                                    gk.gadget)
+    if rp is not None:
+        c0_p = rq.mul_scalar_montgomery(ct.value[0], p_scalar_mform(params, level))
+        d0q = rq.add(d0q, c0_p)
+    else:
+        d0q = rq.add(d0q, ct.value[0])
+    out = []
+    for xq, xp in ((d0q, d0p), (d1q, d1p)):
+        xq = am.automorphism_ntt(rq, xq, gk.gal_el)
+        if rp is not None:
+            xp = am.automorphism_ntt(rp, xp, gk.gal_el)
+        out.append((xq, xp))
+    return out
+
+
+def trace(params: Parameters, ct: Ciphertext, log_n: int,
+          gks: dict[int, GaloisKey]) -> Ciphertext:
+    """Trace (core/rlwe/inner_sum.go:36-124): projects onto the subring of
+    degree 2^log_n — X^k survives iff (N/2^log_n) | k.  The output is
+    pre-multiplied by (N/n)^-1 so surviving coefficients keep their value."""
+    if ct.degree != 1:
+        raise ValueError("trace expects a degree-1 ciphertext")
+    level = ct.level
+    rq = params.ring_q.at_level(level)
+    gap = 1 << (params.log_n - log_n - 1)
+    if log_n == 0:
+        gap <<= 1
+    if params.ring_type == "conjugate_invariant":
+        gap >>= 1
+    if gap <= 1:
+        return ct
+    n_inv = pow(gap, -1, rq.modulus_at_level(level))
+    sc = jnp.array([(n_inv % q) * (1 << 64) % q for q in rq.moduli_tuple],
+                   dtype=jnp.uint64)
+    out = ct.with_value(tuple(rq.mul_scalar_montgomery(v, sc) for v in ct.value))
+    if not ct.metadata.is_ntt:
+        out = out.with_value(tuple(rq.ntt(v) for v in out.value))
+        out = out.with_metadata(is_ntt=True)
+    for i in range(log_n, params.log_n - 1):
+        gal_el = params.galois_element(1 << i)
+        out_rot = automorphism(params, out, gks[gal_el])
+        out = out.with_value((rq.add(out.value[0], out_rot.value[0]),
+                              rq.add(out.value[1], out_rot.value[1])))
+    if log_n == 0 and params.ring_type == "standard":
+        gal_el = params.nth_root - 1
+        out_rot = automorphism(params, out, gks[gal_el])
+        out = out.with_value((rq.add(out.value[0], out_rot.value[0]),
+                              rq.add(out.value[1], out_rot.value[1])))
+    if not ct.metadata.is_ntt:
+        out = out.with_value(tuple(rq.intt(v) for v in out.value))
+        out = out.with_metadata(is_ntt=False)
+    return out
+
+
+def galois_elements_for_trace(params: Parameters, log_n: int) -> list[int]:
+    """GaloisElementsForTrace (inner_sum.go:125-151)."""
+    els = [params.galois_element(1 << i) for i in range(log_n, params.log_n - 1)]
+    if log_n == 0 and params.ring_type == "standard":
+        els.append(params.nth_root - 1)
+    return els
 
 
 def automorphism_hoisted(params: Parameters, ct: Ciphertext,

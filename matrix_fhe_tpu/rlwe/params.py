@@ -130,7 +130,11 @@ class Parameters:
         lp = self.max_level_p if level_p is None else level_p
         key = (lq, lp)
         if key not in self._decomposers:
-            self._decomposers[key] = rt.gen_decomposer(self.q[:lq + 1], self.p[:lp + 1])
+            # ensure_compile_time_eval: these cached tables must be concrete
+            # arrays even when first requested inside a jit trace.
+            import jax
+            with jax.ensure_compile_time_eval():
+                self._decomposers[key] = rt.gen_decomposer(self.q[:lq + 1], self.p[:lp + 1])
         return self._decomposers[key]
 
     def moddown_constants(self, level_q: int | None = None, level_p: int | None = None) -> rt.ModDownConstants:
@@ -138,7 +142,9 @@ class Parameters:
         lp = self.max_level_p if level_p is None else level_p
         key = (lq, lp)
         if key not in self._moddown:
-            self._moddown[key] = rt.gen_moddown_constants(self.q[:lq + 1], self.p[:lp + 1])
+            import jax
+            with jax.ensure_compile_time_eval():
+                self._moddown[key] = rt.gen_moddown_constants(self.q[:lq + 1], self.p[:lp + 1])
         return self._moddown[key]
 
     def base_rns_decomposition_vector_size(self, level_q: int, level_p: int | None = None) -> int:

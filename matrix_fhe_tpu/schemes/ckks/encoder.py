@@ -104,6 +104,41 @@ class Encoder:
             p = params.ring_q.at_level(level).ntt(p)
         return Plaintext(value=p, metadata=md)
 
+    def embed_qp(self, values, level_q: int, level_p: int | None = None,
+                 scale=None) -> tuple[jnp.ndarray, jnp.ndarray | None]:
+        """Embed values into a (Q, P) polynomial in NTT + Montgomery form —
+        the plaintext format of linear-transformation diagonals
+        (schemes/ckks/encoder.go:193 Embed with ringqp output,
+        circuits/common/lintrans/lintrans.go:205 Encode)."""
+        params = self.params
+        scale = Fraction(params.default_scale if scale is None else scale)
+        slots = params.max_slots
+        vals = np.zeros(slots, dtype=np.complex128)
+        values = np.asarray(values)
+        if params.ring_type == rg.CONJUGATE_INVARIANT:
+            vals[: len(values)] = np.real(values)
+        else:
+            vals[: len(values)] = values
+        w = self.special_ifft(vals)
+        sf = float(scale)
+        if params.ring_type == rg.CONJUGATE_INVARIANT:
+            reals = np.real(w)
+        else:
+            reals = np.concatenate([np.real(w), np.imag(w)])
+        coeffs = [round(x * sf) for x in reals]
+
+        rq = params.ring_q.at_level(level_q)
+        limbs_q = np.array([[c % q for c in coeffs] for q in params.q[:level_q + 1]],
+                           dtype=np.uint64)
+        ptq = rq.mform(rq.ntt(mm.u64(limbs_q)))
+        ptp = None
+        if level_p is not None and level_p >= 0 and params.ring_p is not None:
+            rp = params.ring_p.at_level(level_p)
+            limbs_p = np.array([[c % q for c in coeffs] for q in params.p[:level_p + 1]],
+                               dtype=np.uint64)
+            ptp = rp.mform(rp.ntt(mm.u64(limbs_p)))
+        return ptq, ptp
+
     def decode(self, pt: Plaintext) -> np.ndarray:
         """Decode (encoder.go:177): INTT, CRT-reconstruct centered big ints,
         divide by scale, special FFT."""

@@ -39,16 +39,20 @@ class Evaluator:
         return self.params.ring_q.at_level(level)
 
     def _match(self, a: Ciphertext, b: Ciphertext):
-        """Level + scale alignment (evaluator.go:66-245)."""
+        """Level + scale alignment (evaluator.go:250-340 evaluateInPlace):
+        the lower-scale operand is multiplied by floor(ratio) (when >= 1) and
+        both are treated as being at the higher scale — the fractional
+        remainder is part of the CKKS approximation error, exactly like the
+        reference's ratioFlo.Int(nil) flooring."""
         level = min(a.level, b.level)
         a, b = self._drop_level(a, level), self._drop_level(b, level)
         if a.scale == b.scale:
             return a, b, a.scale
         lo, hi = (a, b) if a.scale < b.scale else (b, a)
-        ratio = hi.scale / lo.scale
-        if ratio.denominator != 1:
-            raise ValueError(f"scales incompatible: ratio {ratio} not integer")
-        lo = self._mul_integer(lo, int(ratio)).with_metadata(scale=hi.scale)
+        ratio = int(hi.scale / lo.scale)  # floor
+        if ratio >= 1:
+            lo = self._mul_integer(lo, ratio)
+        lo = lo.with_metadata(scale=hi.scale)
         return (lo, hi, hi.scale) if a.scale < b.scale else (hi, lo, hi.scale)
 
     def _drop_level(self, ct: Ciphertext, level: int) -> Ciphertext:
@@ -160,6 +164,85 @@ class Evaluator:
         out = self._mul_integer(a, ci)
         return out.with_metadata(scale=a.scale * scale)
 
+    # -- scalar (double-RNS) operations ------------------------------------------
+    # evaluateWithScalar (evaluator.go:433-447): a complex constant a+bi is,
+    # in the NTT domain, the vector [a + b*i_q]*N/2 || [a - b*i_q]*N/2 with
+    # i_q = psi^{N/2} = g^{(q-1)/4} a principal 4th root of unity mod q.
+
+    def _double_rns_scalars(self, level: int, c: complex, scale) -> tuple:
+        from matrix_fhe_tpu.utils import primes as pr
+        moduli = self.params.q[: level + 1]
+
+        def round_half(x: float) -> int:
+            # bigComplexToRNSScalar (scaling.go:10-44): add +-0.5, truncate
+            from math import floor, ceil
+            return floor(x + 0.5) if x > 0 else (ceil(x - 0.5) if x < 0 else 0)
+
+        sf = float(scale)
+        a = round_half(c.real * sf)
+        b = round_half(c.imag * sf)
+        if self.params.ring_type == "conjugate_invariant":
+            if b:
+                raise ValueError("complex constant undefined on the CI ring")
+            s = jnp.array([a % q for q in moduli], dtype=jnp.uint64)[:, None]
+            return s, s
+        s0, s1 = [], []
+        for q in moduli:
+            g, _ = pr.primitive_root(q)
+            iq = pow(g, (q - 1) // 4, q)
+            # match the NTT tables: psi = g^((q-1)/nth_root), i_q = psi^{N/2}
+            s0.append((a + b * iq) % q)
+            s1.append((a - b * iq) % q)
+        return (jnp.array(s0, dtype=jnp.uint64)[:, None],
+                jnp.array(s1, dtype=jnp.uint64)[:, None])
+
+    def _apply_double_rns(self, ct: Ciphertext, s0, s1, op: str,
+                          mul_scale=None) -> Ciphertext:
+        ring = self._ring(ct.level)
+        n = self.params.n
+        h = n // 2
+
+        def run(v, first_only=False):
+            lo, hi = v[..., :h], v[..., h:]
+            if op == "add":
+                return jnp.concatenate([ring.add(lo, jnp.broadcast_to(s0, lo.shape)),
+                                        ring.add(hi, jnp.broadcast_to(s1, hi.shape))], axis=-1)
+            if op == "sub":
+                return jnp.concatenate([ring.sub(lo, jnp.broadcast_to(s0, lo.shape)),
+                                        ring.sub(hi, jnp.broadcast_to(s1, hi.shape))], axis=-1)
+            # mul: Barrett per half
+            return jnp.concatenate([ring.mul_coeffs_barrett(lo, jnp.broadcast_to(s0, lo.shape)),
+                                    ring.mul_coeffs_barrett(hi, jnp.broadcast_to(s1, hi.shape))], axis=-1)
+
+        if op in ("add", "sub"):
+            out = (run(ct.value[0]),) + ct.value[1:]
+            return ct.with_value(out)
+        out = tuple(run(v) for v in ct.value)
+        return ct.with_value(out).with_metadata(scale=ct.scale * mul_scale)
+
+    def add_const(self, ct: Ciphertext, c) -> Ciphertext:
+        """ct + constant (complex), encoded at ct.scale (evaluator.go:82-101)."""
+        s0, s1 = self._double_rns_scalars(ct.level, complex(c), ct.scale)
+        return self._apply_double_rns(ct, s0, s1, "add")
+
+    def sub_const(self, ct: Ciphertext, c) -> Ciphertext:
+        s0, s1 = self._double_rns_scalars(ct.level, complex(c), ct.scale)
+        return self._apply_double_rns(ct, s0, s1, "sub")
+
+    def mul_const_complex(self, ct: Ciphertext, c, scale=None) -> Ciphertext:
+        """ct * constant (complex) encoded at ``scale`` (default: the scale
+        that brings ct to the next default scale boundary)."""
+        scale = Fraction(self.params.default_scale if scale is None else scale)
+        s0, s1 = self._double_rns_scalars(ct.level, complex(c), scale)
+        return self._apply_double_rns(ct, s0, s1, "mul", mul_scale=scale)
+
+    def mul_const_then_add(self, x: Ciphertext, c, res: Ciphertext) -> Ciphertext:
+        """res += x * const with the const encoded at res.scale/x.scale
+        (MulThenAdd scalar path, evaluator.go:918-1010)."""
+        pt_scale = res.scale / x.scale
+        prod = self.mul_const_complex(self._drop_level(x, res.level), c, pt_scale)
+        return self.add(res, prod)
+
     # -- rescaling ---------------------------------------------------------------
     def rescale(self, a: Ciphertext) -> Ciphertext:
         """Divide by the last modulus (evaluator.go:500-542)."""
@@ -231,6 +314,16 @@ class Evaluator:
                 result = a if result is None else self.add(a, self.rotate(result, batch))
                 m += 1
         return result
+
+    def replicate(self, a: Ciphertext, batch: int, n: int) -> Ciphertext:
+        """Replicate (core/rlwe/inner_sum.go:477): inner sum with a negative
+        shift, replicating each slot n times."""
+        return self.inner_sum(a, -batch, n)
+
+    def trace(self, a: Ciphertext, log_slots: int) -> Ciphertext:
+        """Project onto 2^log_slots slots (evaluator-level binding of
+        rlwe trace; inner_sum.go:36)."""
+        return rlwe_eval.trace(self.params, a, log_slots + 1, self.gks)
 
     def galois_elements_for_inner_sum(self, batch: int, n: int) -> list[int]:
         els = set()
