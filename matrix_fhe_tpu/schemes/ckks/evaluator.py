@@ -155,14 +155,32 @@ class Evaluator:
         return a.with_value(out).with_metadata(scale=a.scale * pt.scale)
 
     def mul_const(self, a: Ciphertext, c) -> Ciphertext:
-        """Multiply by a real scalar, scaled by the default scale
-        (evaluateWithScalar, evaluator.go:433; real path)."""
+        """Multiply by a real scalar encoded at scale q[level], so the
+        following rescale cancels the scale exactly (the reference's
+        scalar-Mul convention, evaluator.go:433 + scaling.go:10)."""
         if isinstance(c, int):
             return self._mul_integer(a, c)
-        scale = self.params.default_scale
+        scale = Fraction(self.params.q[a.level])
         ci = round(float(c) * float(scale))
         out = self._mul_integer(a, ci)
         return out.with_metadata(scale=a.scale * scale)
+
+    def scale_up(self, a: Ciphertext, factor: int) -> Ciphertext:
+        """Multiply by an integer and track it in the scale
+        (ScaleUp, evaluator.go:449-462)."""
+        return self._mul_integer(a, factor).with_metadata(
+            scale=a.scale * Fraction(factor))
+
+    def drop_level(self, a: Ciphertext, n: int = 1) -> Ciphertext:
+        return self._drop_level(a, a.level - n)
+
+    def set_scale(self, a: Ciphertext, target) -> Ciphertext:
+        """SetScale (evaluator.go SetScale): consume one level to bring the
+        ciphertext to exactly ``target`` scale."""
+        target = Fraction(target)
+        ratio = target / a.scale
+        out = self.rescale(self.mul_const(a, float(ratio)))
+        return out.with_metadata(scale=target)
 
     # -- scalar (double-RNS) operations ------------------------------------------
     # evaluateWithScalar (evaluator.go:433-447): a complex constant a+bi is,
@@ -230,9 +248,9 @@ class Evaluator:
         return self._apply_double_rns(ct, s0, s1, "sub")
 
     def mul_const_complex(self, ct: Ciphertext, c, scale=None) -> Ciphertext:
-        """ct * constant (complex) encoded at ``scale`` (default: the scale
-        that brings ct to the next default scale boundary)."""
-        scale = Fraction(self.params.default_scale if scale is None else scale)
+        """ct * constant (complex) encoded at ``scale`` (default q[level],
+        cancelled exactly by the next rescale)."""
+        scale = Fraction(self.params.q[ct.level] if scale is None else scale)
         s0, s1 = self._double_rns_scalars(ct.level, complex(c), scale)
         return self._apply_double_rns(ct, s0, s1, "mul", mul_scale=scale)
 
