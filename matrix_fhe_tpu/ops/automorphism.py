@@ -40,8 +40,27 @@ def automorphism_ntt_index(n: int, nth_root: int, gal_el: int) -> np.ndarray:
     return _bit_reverse_array(tmp2, log_nth).astype(np.int32)
 
 
+@functools.lru_cache(maxsize=None)
+def automorphism_ntt_index_3n(n: int, nth_root: int, gal_el: int) -> np.ndarray:
+    """NTT-domain automorphism on the 3N/Matrix ring: the transform
+    evaluates at x_k = omega^{E[k]} (E = sorted totatives of 3N,
+    ring/ntt_3n.go:234-243), and X -> X^g maps the evaluation at x to the
+    evaluation at x^g, i.e. a permutation of the totative set."""
+    import math
+    if math.gcd(gal_el, nth_root) != 1:
+        raise ValueError(f"galois element {gal_el} not coprime to {nth_root}")
+    E = [e for e in range(1, nth_root) if math.gcd(e, nth_root) == 1]
+    pos = {e: k for k, e in enumerate(E)}
+    # out[i] = p(x_i^g) = eval of p at omega^{E[i]*g}
+    return np.array([pos[(E[i] * gal_el) % nth_root] for i in range(n)],
+                    dtype=np.int32)
+
+
 def automorphism_ntt(ring: rg.Ring, p: jnp.ndarray, gal_el: int) -> jnp.ndarray:
-    idx = jnp.asarray(automorphism_ntt_index(ring.n, ring.nth_root, gal_el))
+    if ring.ring_type == rg.MATRIX:
+        idx = jnp.asarray(automorphism_ntt_index_3n(ring.n, ring.nth_root, gal_el))
+    else:
+        idx = jnp.asarray(automorphism_ntt_index(ring.n, ring.nth_root, gal_el))
     return p[..., idx]
 
 

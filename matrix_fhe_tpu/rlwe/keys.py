@@ -211,7 +211,10 @@ def gen_galois_key(key: jax.Array, params: Parameters, sk: SecretKey,
     the gadget re-encrypts from sk to pi_{k^-1}(sk); the evaluator then applies
     pi_k to the result (evaluator_automorphism.go:45-52)."""
     gal_inv = params.mod_inv_galois_element(gal_el)
-    idx = am.automorphism_ntt_index(params.n, params.nth_root, gal_inv)
+    if params.ring_type == "matrix":
+        idx = am.automorphism_ntt_index_3n(params.n, params.nth_root, gal_inv)
+    else:
+        idx = am.automorphism_ntt_index(params.n, params.nth_root, gal_inv)
     import jax.numpy as _jnp
     iidx = _jnp.asarray(idx)
     sk_out = SecretKey(value=QPPoly(

@@ -162,7 +162,7 @@ class Parameters:
         return [self.galois_element(k) for k in ks]
 
     def mod_inv_galois_element(self, gal_el: int) -> int:
-        return pow(gal_el, self.nth_root - 1, self.nth_root)
+        return pow(gal_el, -1, self.nth_root)
 
     def galois_element_inverse(self) -> int:
         """GaloisGen^{-1}: the conjugation element 2N-1 (params.go:683-689)."""

@@ -163,3 +163,36 @@ class Evaluator:
     def drop_level(self, a: Ciphertext, n: int = 1) -> Ciphertext:
         level = a.level - n
         return a.with_value(tuple(v[..., : level + 1, :] for v in a.value))
+
+    # -- key switching (beyond the reference, which ships no relin/rotations
+    # for matrix_ckks: evaluator.go:114-192 note) -- the generic rlwe gadget
+    # machinery is ring-agnostic, so hybrid key-switching and Galois
+    # automorphisms of (Z/3NZ)* work on the Matrix ring unchanged.
+
+    def _to_ntt(self, a: Ciphertext) -> Ciphertext:
+        if a.metadata.is_ntt:
+            return a
+        ring = self._ring(a.level)
+        return a.with_value(tuple(ring.ntt(v) for v in a.value)) \
+                .with_metadata(is_ntt=True)
+
+    def _from_ntt(self, a: Ciphertext, want_ntt: bool) -> Ciphertext:
+        if a.metadata.is_ntt == want_ntt:
+            return a
+        ring = self._ring(a.level)
+        return a.with_value(tuple(ring.intt(v) for v in a.value)) \
+                .with_metadata(is_ntt=False)
+
+    def mul_relin(self, a: Ciphertext, b: Ciphertext, rlk) -> Ciphertext:
+        from matrix_fhe_tpu.rlwe import evaluator as rlwe_eval
+        ct = self._to_ntt(self.mul(a, b))
+        out = rlwe_eval.relinearize(self.params, ct, rlk)
+        return self._from_ntt(out, a.metadata.is_ntt)
+
+    def automorphism(self, a: Ciphertext, gk) -> Ciphertext:
+        """X -> X^{galEl} for galEl coprime to 3N (NTT-domain permutation of
+        the totative evaluation points)."""
+        from matrix_fhe_tpu.rlwe import evaluator as rlwe_eval
+        ct = self._to_ntt(a)
+        out = rlwe_eval.automorphism(self.params, ct, gk)
+        return self._from_ntt(out, a.metadata.is_ntt)
