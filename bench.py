@@ -28,6 +28,34 @@ def _time_fn(fn, args, iters: int, warmup: int = 2) -> float:
 
 
 def bench_ntt(quick: bool) -> dict:
+    """Headline: the fused Pallas four-step MXU NTT (w22 native fast path,
+    bit-exact vs the u64 reference kernels)."""
+    import numpy as np
+    from matrix_fhe_tpu.ops import pallas_ntt
+
+    logn, limbs = 14, 10
+    batch = 16 if quick else 64
+    n = 1 << logn
+    moduli = pallas_ntt.find_w22_primes(n, limbs)
+    tabs = pallas_ntt.build_tables(n, moduli)
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.integers(0, min(moduli), (batch, limbs, n),
+                                 dtype=np.int64).astype(np.int32))
+    try:
+        fn = jax.jit(lambda a: pallas_ntt.ntt_fwd(a, tabs))
+        dt = _time_fn(fn, (x,), iters=3 if quick else 10)
+    except Exception as e:  # CPU / no Mosaic: fall back to the jnp MXU form
+        print(f"pallas path unavailable ({type(e).__name__}); jnp fallback",
+              file=sys.stderr)
+        from matrix_fhe_tpu.ops import mxu_ntt
+        tabs2 = mxu_ntt.build_tables(n, moduli)
+        fn = jax.jit(lambda a: mxu_ntt.ntt_fwd(a, tabs2))
+        dt = _time_fn(fn, (x,), iters=2 if quick else 5)
+    return {"ntt_per_s": batch * limbs / dt, "dt": dt}
+
+
+def bench_ntt_u64(quick: bool) -> dict:
+    """Reference-parity 45-bit u64 butterfly path (secondary metric)."""
     from matrix_fhe_tpu.ops import rings
     from matrix_fhe_tpu.utils import primes as pr
 
@@ -42,7 +70,7 @@ def bench_ntt(quick: bool) -> dict:
                            dtype=jnp.int64).astype(jnp.uint64)
     fn = jax.jit(lambda a: ring.intt(ring.ntt(a)))
     dt = _time_fn(fn, (x,), iters=3 if quick else 10)
-    ntts_per_call = 2 * batch * limbs  # fwd + bwd each count as one RNS-NTT
+    ntts_per_call = 2 * batch * limbs
     return {"ntt_per_s": ntts_per_call / dt, "dt": dt}
 
 
@@ -62,7 +90,13 @@ def main() -> None:
     print(f"devices: {jax.devices()}", file=sys.stderr)
 
     ntt = bench_ntt(quick)
-    print(f"ntt: {ntt}", file=sys.stderr)
+    print(f"ntt (pallas w22): {ntt}", file=sys.stderr)
+    try:
+        ntt64 = bench_ntt_u64(quick)
+        print(f"ntt (u64 45-bit): {ntt64}", file=sys.stderr)
+    except Exception as e:
+        print(f"u64 ntt bench failed: {e}", file=sys.stderr)
+        ntt64 = None
     try:
         ct = bench_ct_mult(quick)
         print(f"ct_mult: {ct}", file=sys.stderr)
@@ -79,6 +113,8 @@ def main() -> None:
     }
     if ct is not None:
         result["ct_mult_relin_rescale_per_s"] = round(ct["ct_mult_per_s"], 2)
+    if ntt64 is not None:
+        result["u64_ntt_per_s"] = round(ntt64["ntt_per_s"], 1)
     print(json.dumps(result))
 
 
