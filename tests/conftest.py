@@ -24,3 +24,7 @@ import matrix_fhe_tpu  # noqa: E402,F401  (enables x64 before any jnp use)
 
 assert os.environ.get("MATRIX_FHE_TEST_TPU") or jax.devices()[0].platform == "cpu", (
     f"tests must run on CPU, got {jax.devices()}")
+
+
+def pytest_configure(config):
+    config.addinivalue_line("markers", "slow: long-running end-to-end tests")
