@@ -19,7 +19,7 @@ from matrix_fhe_tpu.schemes import ckks
 @pytest.fixture(scope="module")
 def ctx():
     params = ckks.new_parameters(ckks.CKKSParametersLiteral(
-        logn=6, logq=(55,) + (60,) * 12, logp=(61, 61), log_default_scale=45))
+        logn=6, logq=(55,) + (60,) * 10, logp=(61, 61), log_default_scale=45))
     enc = ckks.Encoder(params)
     ks, kr = jax.random.split(jax.random.key(0))
     sk = K.gen_secret_key(ks, params)
@@ -69,8 +69,8 @@ def test_cos_continuous(ctx):
 
 def test_sin_continuous_arcsine(ctx):
     _evaluate_mod1(ctx, mod1.ParametersLiteral(
-        level_q=11, log_scale=60, mod1_type=mod1.SIN_CONTINUOUS,
-        log_message_ratio=8, k=14, mod1_degree=127,
+        level_q=9, log_scale=60, mod1_type=mod1.SIN_CONTINUOUS,
+        log_message_ratio=8, k=8, mod1_degree=63,
         mod1_inv_degree=7), 8)
 
 
