@@ -114,6 +114,7 @@ def encode(embed, diagonals: dict[int, np.ndarray],
     encoded rotated left by ``-j mod cols`` (i.e. right by j) so it aligns
     with the ciphertext pre-rotated by the baby step i.
     """
+    rows = 1 << ltp.log_dimensions[0]
     cols = 1 << ltp.log_dimensions[1]
 
     def diag_at(i):
@@ -121,6 +122,13 @@ def encode(embed, diagonals: dict[int, np.ndarray],
             if cand in diagonals:
                 return np.asarray(diagonals[cand])
         raise KeyError(f"diagonal {i} does not exist")
+
+    def rot_right(v, j):
+        """Rotate each row of the [rows, cols] slot matrix right by j
+        (rotateAndEncodeDiagonal, lintrans.go:283-300)."""
+        if j == 0 or len(v) == cols:
+            return np.roll(v, j)
+        return np.roll(v.reshape(rows, cols), j, axis=1).reshape(-1)
 
     vec: dict[int, tuple] = {}
     if ltp.log_bsgs_ratio < 0:
@@ -133,7 +141,7 @@ def encode(embed, diagonals: dict[int, np.ndarray],
         index, _, _ = bsgs_index(ltp.diagonals_index_list, cols, n1)
         for j in index:
             for i in index[j]:
-                v = np.roll(diag_at(j + i), j)  # rotate right by j
+                v = rot_right(diag_at(j + i), j)
                 vec[j + i] = embed(v, ltp.level_q, ltp.level_p, ltp.scale)
     return LinearTransformation(scale=ltp.scale, log_dimensions=ltp.log_dimensions,
                                 n1=n1, level_q=ltp.level_q, level_p=ltp.level_p,

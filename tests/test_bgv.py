@@ -105,3 +105,49 @@ def test_rotation(ctx):
     np.testing.assert_array_equal(got, want)
     got = _dec(ctx, ev.rotate_rows(ct))
     np.testing.assert_array_equal(got, np.concatenate([v[half:], v[:half]]))
+
+
+def test_bgv_lintrans(ctx):
+    """Integer diagonal linear transform (circuits/bgv/lintrans)."""
+    from matrix_fhe_tpu.circuits import bgv_circuits, lintrans as lt
+    params, enc, sk, rlk = ctx
+    rng = np.random.default_rng(7)
+    slots = params.n  # BGV slot count = N (row-interleaved)
+    diag_idx = [0, 1, 3]
+    diags = {k: rng.integers(0, T, slots, dtype=np.uint64) for k in diag_idx}
+    v = rng.integers(0, T, slots, dtype=np.uint64)
+
+    for ratio in (-1, 0):
+        ltp = lt.LinearTransformationParameters(
+            diagonals_index_list=diag_idx, level_q=params.max_level,
+            level_p=params.max_level_p, scale=1,
+            log_dimensions=(1, params.log_n - 1), log_bsgs_ratio=ratio)
+        transform = bgv_circuits.new_linear_transformation(params, enc, diags, ltp)
+        cols = 1 << (params.log_n - 1)
+        gels = lt.galois_elements(params, diag_idx, cols, ratio)
+        gks = K.gen_galois_keys(jax.random.key(17), params, sk, gels)
+        ct = _enc(ctx, v, 18)
+        out = bgv_circuits.evaluate(params, ct, transform, gks)
+        got = _dec(ctx, out)
+        # model: BGV slots rotate within each of the two rows of the
+        # [2, N/2] slot matrix
+        vm = v.reshape(2, cols)
+        want = np.zeros_like(vm)
+        for k, d in diags.items():
+            dm = np.asarray(d).reshape(2, cols)
+            want = (want + dm * np.roll(vm, -k, axis=1)) % T
+        np.testing.assert_array_equal(got.reshape(2, cols), want)
+
+
+def test_bgv_polynomial(ctx):
+    from matrix_fhe_tpu.circuits import bgv_circuits
+    params, enc, sk, rlk = ctx
+    ev = bgv.Evaluator(params, rlk=rlk)
+    rng = np.random.default_rng(9)
+    v = rng.integers(0, 100, params.n, dtype=np.uint64)
+    coeffs = [3, 1, 2]  # 3 + x + 2 x^2
+    ct = _enc(ctx, v, 19)
+    out = bgv_circuits.evaluate_polynomial(ev, enc, ct, coeffs)
+    got = _dec(ctx, out)
+    want = (3 + v.astype(object) + 2 * v.astype(object) ** 2) % T
+    np.testing.assert_array_equal(got.astype(object), want)

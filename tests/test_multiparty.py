@@ -221,3 +221,38 @@ def test_refresh_with_slot_transform(ctx):
                                            params.default_scale, transform=flip)
     got = enc.decode(decryptor.decrypt(params, sk_ideal, out))
     ckks.precision.assert_precision(-v, got, 8)
+
+
+def test_bgv_refresh():
+    """mpbgv collective refresh (mpbgv/refresh.go pattern)."""
+    from matrix_fhe_tpu.multiparty import mpbgv
+    from matrix_fhe_tpu.schemes import bgv
+    T = 65537
+    params = bgv.new_parameters(bgv.BGVParametersLiteral(
+        logn=6, t=T, logq=(45, 40, 40), logp=(50,)))
+    enc = bgv.Encoder(params)
+    keys = jax.random.split(jax.random.key(50), N_PARTIES)
+    sks = [K.gen_secret_key(k, params) for k in keys]
+    rq, rp = params.ring_q, params.ring_p
+    qs, ps = sks[0].value.q, sks[0].value.p
+    for s in sks[1:]:
+        qs, ps = rq.add(qs, s.value.q), rp.add(ps, s.value.p)
+    sk_ideal = K.SecretKey(value=K.QPPoly(q=qs, p=ps))
+
+    rng = np.random.default_rng(11)
+    v = rng.integers(0, T, params.n, dtype=np.uint64)
+    pt = enc.encode(v, level=0)
+    ct = encryptor.encrypt(jax.random.key(51), params, sk_ideal, pt)
+    assert ct.level == 0
+
+    crs_poly = mpbgv.Refresh.sample_crp(jax.random.key(52), params,
+                                        params.max_level)
+    shares = [mpbgv.Refresh.gen_share(jax.random.key(60 + i), params, sks[i],
+                                      ct, crs_poly) for i in range(N_PARTIES)]
+    agg = shares[0]
+    for s in shares[1:]:
+        agg = mpbgv.Refresh.aggregate(params, agg, s)
+    out = mpbgv.Refresh.finalize(params, ct, agg, crs_poly)
+    assert out.level == params.max_level
+    got = enc.decode(decryptor.decrypt(params, sk_ideal, out))
+    np.testing.assert_array_equal(got, v)
