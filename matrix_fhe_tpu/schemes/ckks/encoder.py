@@ -72,10 +72,53 @@ class Encoder:
             blocks[:, :lenh], blocks[:, lenh:] = a + b, a - b
         return v
 
+    # -- arbitrary-precision special IFFT (PREC128 mode) --------------------
+    # embedArbitrary (encoder.go:325): same butterfly schedule as
+    # special_ifft but in Decimal arithmetic, for log scales beyond the 53
+    # bits float64 can carry.
+
+    def _special_ifft_arbitrary(self, values, digits: int):
+        from decimal import Decimal, localcontext
+        from matrix_fhe_tpu.utils import bignum as bn
+        with localcontext() as ctx:
+            ctx.prec = digits
+            m = self.m
+            pi2 = 2 * bn.pi(digits)
+            roots = [(bn.cos(pi2 * k / m, digits), bn.sin(pi2 * k / m, digits))
+                     for k in range(m + 1)]
+            vr = [Decimal(complex(v).real) for v in values]
+            vi = [Decimal(complex(v).imag) for v in values]
+            n = len(vr)
+            logn = (n - 1).bit_length()
+            logm = (m - 1).bit_length()
+            for loglen in range(logn, 0, -1):
+                ln = 1 << loglen
+                lenh, lenq = ln >> 1, ln << 2
+                log_gap = logm - 2 - loglen
+                mask = lenq - 1
+                for blk in range(0, n, ln):
+                    for j in range(lenh):
+                        idx = (lenq - (int(self.rot_group[j]) & mask)) << log_gap
+                        wr, wi = roots[idx]
+                        a_r, a_i = vr[blk + j], vi[blk + j]
+                        b_r, b_i = vr[blk + j + lenh], vi[blk + j + lenh]
+                        sr, si = a_r + b_r, a_i + b_i
+                        dr, di = a_r - b_r, a_i - b_i
+                        vr[blk + j], vi[blk + j] = sr, si
+                        vr[blk + j + lenh] = dr * wr - di * wi
+                        vi[blk + j + lenh] = dr * wi + di * wr
+            ninv = Decimal(1) / n
+            vr = [x * ninv for x in vr]
+            vi = [x * ninv for x in vi]
+            perm = _bit_reverse_perm(n)
+            return [vr[p] for p in perm], [vi[p] for p in perm]
+
     # -- encode / decode ----------------------------------------------------
     def encode(self, values, level: int | None = None, scale=None,
                is_ntt: bool = True) -> Plaintext:
-        """Encode -> Embed (encoder.go:141-323), full slots."""
+        """Encode -> Embed (encoder.go:141-323), full slots.  Uses the
+        float64 fast path (PREC64) for scales <= 2^53 and the Decimal
+        arbitrary-precision path (PREC128, embedArbitrary) beyond."""
         params = self.params
         level = params.max_level if level is None else level
         scale = Fraction(params.default_scale if scale is None else scale)
@@ -86,6 +129,29 @@ class Encoder:
             vals[: len(values)] = np.real(values)
         else:
             vals[: len(values)] = values
+
+        if scale > (1 << 50):
+            # PREC128: high-precision embed, exact big-int rounding
+            from decimal import Decimal
+            digits = max(40, int(np.log10(float(scale))) + 25)
+            wr, wi = self._special_ifft_arbitrary(vals, digits)
+            sd = Decimal(scale.numerator) / Decimal(scale.denominator)
+            if params.ring_type == rg.CONJUGATE_INVARIANT:
+                reals_d = wr
+            else:
+                reals_d = wr + wi
+            coeffs = [int((x * sd).to_integral_value(rounding="ROUND_HALF_EVEN"))
+                      for x in reals_d]
+            moduli = params.q[: level + 1]
+            limbs = np.array([[c % q for c in coeffs] for q in moduli],
+                             dtype=np.uint64)
+            md = MetaData(scale=scale, is_ntt=is_ntt,
+                          log_dimensions=(0, params.log_max_slots))
+            p = mm.u64(limbs)
+            if is_ntt:
+                p = params.ring_q.at_level(level).ntt(p)
+            return Plaintext(value=p, metadata=md)
+
         w = self.special_ifft(vals)
 
         sf = float(scale)

@@ -146,3 +146,18 @@ def test_inner_sum(ctx):
     got = _dec(ctx, ev2.inner_sum(ct, batch, n))
     want = sum(np.roll(v, -batch * j) for j in range(n))
     ckks.precision.assert_precision(want, got, 18)
+
+
+def test_encode_prec128():
+    """PREC128 (arbitrary-precision) embed path (encoder.go:325
+    embedArbitrary): scales beyond float64's 53-bit mantissa."""
+    params = ckks.new_parameters(ckks.CKKSParametersLiteral(
+        logn=5, logq=(60, 55, 55), logp=(61,), log_default_scale=80))
+    enc = ckks.Encoder(params)
+    rng = np.random.default_rng(0)
+    v = rng.uniform(-1, 1, params.max_slots) + 1j * rng.uniform(-1, 1, params.max_slots)
+    pt = enc.encode(v)  # scale 2^80 -> Decimal path
+    assert pt.metadata.scale == 1 << 80
+    got = enc.decode(pt)
+    # decode is float64-bounded; the embed itself must be high precision
+    ckks.precision.assert_precision(v, got, 40)
