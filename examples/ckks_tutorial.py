@@ -6,6 +6,11 @@ on insecure demo parameters (LogN=7).  Run from the repo root:
     JAX_PLATFORMS=cpu python examples/ckks_tutorial.py
 """
 
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 import numpy as np
 import jax
 
