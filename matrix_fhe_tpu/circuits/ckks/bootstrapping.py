@@ -47,6 +47,10 @@ class ParametersLiteral:
     mod1_inv_degree: int = 0
     log_message_ratio: int = 8
     log_default_scale: int = 45
+    # Hamming weight of the ephemeral sparse secret used to encapsulate the
+    # ModUp step (keys.go EvkDenseToSparse/EvkSparseToDense + the
+    # CHANGELOG.md:11-12 security fix); 0 = dense-key path.
+    ephemeral_secret_weight: int = 0
 
 
 class Parameters:
@@ -105,14 +109,30 @@ class Parameters:
 class EvaluationKeys:
     rlk: K.RelinearizationKey
     gks: dict[int, K.GaloisKey]
+    # Sparse-secret encapsulation keys (bootstrapping/keys.go:400
+    # EvkDenseToSparse / EvkSparseToDense); None on the dense path.
+    evk_dense_to_sparse: K.EvaluationKey | None = None
+    evk_sparse_to_dense: K.EvaluationKey | None = None
 
 
 def gen_evaluation_keys(key: jax.Array, p: Parameters,
                         sk: K.SecretKey) -> EvaluationKeys:
-    k1, k2 = jax.random.split(key)
+    from matrix_fhe_tpu.ops import samplers as smp
+    k1, k2, k3, k4, k5 = jax.random.split(key, 5)
     rlk = K.gen_relinearization_key(k1, p.params, sk)
     gks = K.gen_galois_keys(k2, p.params, sk, p.galois_elements())
-    return EvaluationKeys(rlk=rlk, gks=gks)
+    d2s = s2d = None
+    if p.lit.ephemeral_secret_weight > 0:
+        # keys.go GenEvaluationKeys: ephemeral sparse secret with Hamming
+        # weight h, used only around ModUp so the SubSum/trace noise scales
+        # with h instead of the dense key's weight.
+        sparse = smp.sample(k3, p.params.ring_q,
+                            smp.Ternary(h=p.lit.ephemeral_secret_weight))
+        sk_eph = K.SecretKey(value=K._to_qp_small(p.params, sparse))
+        d2s = K.gen_evaluation_key(k4, p.params, sk.value.q, sk_eph)
+        s2d = K.gen_evaluation_key(k5, p.params, sk_eph.value.q, sk)
+    return EvaluationKeys(rlk=rlk, gks=gks,
+                          evk_dense_to_sparse=d2s, evk_sparse_to_dense=s2d)
 
 
 class Evaluator:
@@ -124,6 +144,8 @@ class Evaluator:
         self.ev = ckks.Evaluator(params, rlk=evk.rlk, galois_keys=evk.gks)
         self.enc = ckks.Encoder(params)
         self.gks = evk.gks
+        self.evk_dense_to_sparse = evk.evk_dense_to_sparse
+        self.evk_sparse_to_dense = evk.evk_sparse_to_dense
 
         self.mod1_params = mod1.new_parameters_from_literal(params, p.mod1_lit)
         m1 = self.mod1_params
@@ -196,6 +218,12 @@ class Evaluator:
             vals.append(rq.ntt(centered_lift(coeff)))
         out = ct.with_value(tuple(vals))
 
+        # sparse-secret encapsulation: return to the dense key right after
+        # the raise (evaluator.go:745-756 SwitchKeys EvkSparseToDense)
+        if self.evk_sparse_to_dense is not None:
+            out = rlwe_eval.apply_evaluation_key(params, out,
+                                                 self.evk_sparse_to_dense)
+
         m1 = self.mod1_params
         scale = (float(m1.scaling_factor) / m1.message_ratio) / float(ct.scale)
         if scale > 1:
@@ -220,9 +248,144 @@ class Evaluator:
     def bootstrap(self, ct: Ciphertext) -> Ciphertext:
         """evaluator.go:548-588: refresh ct to the top residual level."""
         ct = self.scale_down(ct)
+        # encapsulate under the ephemeral sparse key before the raise
+        # (evaluator.go:646-660 SwitchKeys EvkDenseToSparse at q0)
+        if self.evk_dense_to_sparse is not None:
+            ct = rlwe_eval.apply_evaluation_key(self.p.params, ct,
+                                                self.evk_dense_to_sparse)
         ct = self.mod_up(ct)
         ct_real, ct_imag = self.coeffs_to_slots(ct)
         ct_real = self.eval_mod(ct_real)
         if ct_imag is not None:
             ct_imag = self.eval_mod(ct_imag)
         return self.slots_to_coeffs(ct_real, ct_imag)
+
+    # -- batch bootstrapping (BootstrapMany, evaluator.go:263-344) ---------
+    def _mul_i(self, ct: Ciphertext) -> Ciphertext:
+        """Exact multiplication by the imaginary unit (double-RNS scalar at
+        scale 1 — i is a 4th root of unity mod every NTT prime)."""
+        return self.ev.mul_const_complex(ct, 1j, scale=1)
+
+    def _split_real_imag(self, ct: Ciphertext):
+        """Split a complex-packed ciphertext into (Re, Im) parts via the
+        conjugation automorphism; the /2 is free in the declared scale."""
+        cj = self.ev.conjugate(ct)
+        re = self.ev.add(ct, cj).with_metadata(scale=ct.scale * 2)
+        im = self._mul_i(self.ev.sub(cj, ct)).with_metadata(scale=ct.scale * 2)
+        return re, im
+
+    def bootstrap_many(self, cts: list[Ciphertext]) -> list[Ciphertext]:
+        """Bootstrap a batch of real-payload ciphertexts, packing pairs as
+        ct_a + i*ct_b so each pipeline invocation refreshes two ciphertexts
+        (evaluator.go:263-344 BootstrapMany).  Outputs carry scale 2*S
+        (exact in the Fraction bookkeeping) for the paired entries.
+
+        Only valid when the payloads are real; complex-payload ciphertexts
+        should go through :meth:`bootstrap` one by one.
+        """
+        out: list[Ciphertext] = []
+        for i in range(0, len(cts) - 1, 2):
+            a, b, _ = self.ev._match(cts[i], cts[i + 1])
+            packed = self.ev.add(a, self._mul_i(b))
+            re, im = self._split_real_imag(self.bootstrap(packed))
+            out.extend((re, im))
+        if len(cts) % 2:
+            out.append(self.bootstrap(cts[-1]))
+        return out
+
+    # -- iterative META-BTS (evaluator.go:345-493) -------------------------
+    def evaluate(self, ct: Ciphertext, iterations: int = 1,
+                 reserved_bits: int = 16) -> Ciphertext:
+        """Bootstrap with META-BTS precision boosting (evaluator.go:374-487,
+        eprint 2022/1167): each extra iteration bootstraps the *amplified*
+        residual error e = ct - boot(ct) and folds the correction back in,
+        gaining ~``reserved_bits`` bits of precision per round.  Each extra
+        iteration consumes one residual level (the reference's reserved
+        prime, parameters_literal.go ReservedPrimeBitSize).
+        """
+        out = self.bootstrap(ct)
+        amp = 1 << reserved_bits
+        for _ in range(iterations - 1):
+            # residual error at the input's level/scale
+            err = self.ev.sub(ct, out)
+            # amplify the *message* by 2^d: multiply coeffs, keep the scale
+            err = self.ev.scale_up(err, amp).with_metadata(scale=err.scale)
+            boot_err = self.bootstrap(err)
+            # de-amplify in the declared scale, align, and correct
+            corr = boot_err.with_metadata(scale=boot_err.scale * amp)
+            out = self.ev.add(self.ev.scale_up(out, amp), corr)
+            # burn one residual level (the reference's reserved prime) to
+            # return to exactly the default scale
+            out = self.ev.set_scale(out, self.p.params.default_scale)
+        return out
+
+
+class SecretKeyBootstrapper:
+    """Debug stand-in emulating an ideal bootstrap by decrypt-reencode-
+    reencrypt with the secret key (sk_bootstrapper.go:11-69) — the
+    reference's only 'mock backend', used to prototype circuits that
+    interleave bootstraps without paying for the real pipeline."""
+
+    def __init__(self, params, sk, key: jax.Array | None = None):
+        self.params = params
+        self.sk = sk
+        self.enc = ckks.Encoder(params)
+        self.key = jax.random.key(0) if key is None else key
+        self.counter = 0  # sk_bootstrapper.go:23 bootstrap invocation count
+
+    def minimum_input_level(self) -> int:
+        return 0
+
+    def output_level(self) -> int:
+        return self.params.max_level
+
+    def depth(self) -> int:
+        return 0
+
+    def bootstrap(self, ct: Ciphertext) -> Ciphertext:
+        from matrix_fhe_tpu.rlwe import decryptor as dec, encryptor as enc
+        values = self.enc.decode(dec.decrypt(self.params, self.sk, ct))
+        pt = self.enc.encode(values, level=self.params.max_level)
+        self.key, sub = jax.random.split(self.key)
+        self.counter += 1
+        return enc.encrypt(sub, self.params, self.sk, pt)
+
+    def bootstrap_many(self, cts: list[Ciphertext]) -> list[Ciphertext]:
+        return [self.bootstrap(ct) for ct in cts]
+
+
+# -- curated presets (default_parameters.go:20-195) ---------------------------
+# Budget shapes mirroring the reference's default sets (full 128-bit-secure
+# N=2^16 chain and smaller dev/test chains); values are this framework's own
+# chain layouts, not copies — the reference encodes its chains as explicit
+# prime lists, we regenerate from bit budgets.
+N16_DENSE = ParametersLiteral(
+    log_n=16,
+    residual_log_q=(60, 45, 45, 45, 45, 45, 45, 45, 45, 45),
+    log_p=(61, 61, 61, 61),
+    c2s_log_q=(56, 56, 56, 56),
+    s2c_log_q=(45, 45, 45),
+    mod1_log_q=60, mod1_k=16, mod1_degree=30, mod1_double_angle=3,
+    log_message_ratio=10, log_default_scale=45,
+)
+N15_TEST = ParametersLiteral(
+    log_n=15,
+    residual_log_q=(60, 45, 45, 45),
+    log_p=(61, 61),
+    c2s_log_q=(56, 56, 56),
+    s2c_log_q=(45, 45, 45),
+    mod1_log_q=60, log_message_ratio=8, log_default_scale=45,
+)
+N12_TEST = ParametersLiteral(
+    log_n=12,
+    residual_log_q=(55, 45, 45),
+    log_p=(61, 61),
+    c2s_log_q=(56, 56, 56),
+    s2c_log_q=(45, 45, 45),
+    mod1_log_q=60, log_message_ratio=8, log_default_scale=45,
+)
+DEFAULT_PARAMETERS = {
+    "N16_DENSE": N16_DENSE,
+    "N15_TEST": N15_TEST,
+    "N12_TEST": N12_TEST,
+}

@@ -482,3 +482,42 @@ def _solve_linear(mat, vec):
                 factor = m[r][col]
                 m[r] = [v - factor * w for v, w in zip(m[r], m[col])]
     return [m[i][n] for i in range(n)]
+
+
+# ---------------------------------------------------------------------------
+# Lagrange interpolation (ring/interpolation.go): arbitrary-precision
+# polynomial through (x_i, y_i) nodes, returned as monomial coefficients.
+# Used by tests to cross-check polynomial evaluators.
+# ---------------------------------------------------------------------------
+
+def lagrange_interpolation(xs, ys, digits: int = 50):
+    """Interpolator.Interpolate (ring/interpolation.go:40-188): returns the
+    unique degree-(n-1) polynomial's monomial coefficients, low to high,
+    as Decimals computed at ``digits`` precision."""
+    n = len(xs)
+    if len(ys) != n:
+        raise ValueError("xs/ys length mismatch")
+    with localcontext() as ctx:
+        ctx.prec = digits + 10
+        xs_d = [Decimal(str(x)) for x in xs]
+        ys_d = [Decimal(str(y)) for y in ys]
+        coeffs = [Decimal(0)] * n
+        for i in range(n):
+            # basis poly prod_{j!=i} (X - x_j) / (x_i - x_j), expanded
+            basis = [Decimal(1)]
+            denom = Decimal(1)
+            for j in range(n):
+                if j == i:
+                    continue
+                basis = ([Decimal(0)] + basis[:]) if False else basis
+                # multiply basis by (X - x_j)
+                new = [Decimal(0)] * (len(basis) + 1)
+                for k, c in enumerate(basis):
+                    new[k + 1] += c
+                    new[k] -= c * xs_d[j]
+                basis = new
+                denom *= xs_d[i] - xs_d[j]
+            w = ys_d[i] / denom
+            for k, c in enumerate(basis):
+                coeffs[k] += w * c
+        return coeffs
