@@ -316,22 +316,29 @@ class Evaluator:
             out[k] = rlwe_eval.automorphism_hoisted(self.params, a, digits, gk)
         return out
 
-    def inner_sum(self, a: Ciphertext, batch: int, n: int) -> Ciphertext:
-        """InnerSum (core/rlwe/inner_sum.go:316): out slot i = sum_{j<n}
-        in slot (i + batch*j), via the binary recursion
-        f(2k) = f(k) + rot(f(k), batch*k); f(2k+1) = f(2k) + rot(a, batch*2k)."""
+    def inner_function(self, a: Ciphertext, batch: int, n: int,
+                       fn) -> Ciphertext:
+        """InnerFunction (core/rlwe/inner_sum.go:316): generic log-step
+        folding of slots (i + batch*j) for j < n with an arbitrary
+        associative binary op ``fn(ct, ct) -> ct`` — e.g. add for InnerSum,
+        a homomorphic max composite for tournament reductions."""
         if n < 1:
             raise ValueError("n must be >= 1")
-        result = None   # partial sum of m terms
+        result = None   # partial fold of m terms
         m = 0
         for bit in reversed(range(n.bit_length())):
             if result is not None:
-                result = self.add(result, self.rotate(result, batch * m))
+                result = fn(result, self.rotate(result, batch * m))
                 m *= 2
             if (n >> bit) & 1:
-                result = a if result is None else self.add(a, self.rotate(result, batch))
+                result = a if result is None else fn(a, self.rotate(result, batch))
                 m += 1
         return result
+
+    def inner_sum(self, a: Ciphertext, batch: int, n: int) -> Ciphertext:
+        """InnerSum (inner_sum.go:361): out slot i = sum_{j<n} in slot
+        (i + batch*j) — InnerFunction specialized to addition."""
+        return self.inner_function(a, batch, n, self.add)
 
     def replicate(self, a: Ciphertext, batch: int, n: int) -> Ciphertext:
         """Replicate (core/rlwe/inner_sum.go:477): inner sum with a negative

@@ -146,6 +146,10 @@ def test_inner_sum(ctx):
     got = _dec(ctx, ev2.inner_sum(ct, batch, n))
     want = sum(np.roll(v, -batch * j) for j in range(n))
     ckks.precision.assert_precision(want, got, 18)
+    # generic InnerFunction (inner_sum.go:316) with sub as the fold op:
+    # the same recursion with a non-commutative op still folds all n terms
+    got_fn = _dec(ctx, ev2.inner_function(ct, batch, n, ev2.add))
+    ckks.precision.assert_precision(want, got_fn, 18)
 
 
 def test_encode_prec128():
