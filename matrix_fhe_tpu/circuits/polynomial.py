@@ -151,6 +151,72 @@ def _sim_gen_power(pb: dict[int, SimOp], n: int, sim) -> None:
 
 
 @dataclasses.dataclass
+class PolynomialVector:
+    """polynomial.go:59-111 PolynomialVector: several polynomials evaluated
+    simultaneously, each on its own set of slots.
+
+    ``value[i]`` is evaluated on the slots listed in ``mapping[i]``; slots not
+    covered by any entry decrypt to ~0.  All polynomials must share basis and
+    interval (they are evaluated through one shared PowerBasis); they are
+    padded to a common degree and factorized in lockstep so the
+    Paterson-Stockmeyer splits align across the vector."""
+
+    value: list
+    mapping: dict
+
+    def __post_init__(self):
+        if not self.value:
+            raise ValueError("empty polynomial vector")
+        basis = self.value[0].basis
+        interval = self.value[0].interval
+        for p in self.value[1:]:
+            if p.basis != basis:
+                raise ValueError("polynomials must share a basis")
+            if (interval is None) != (p.interval is None) or (
+                    interval is not None and
+                    (p.interval.a != interval.a or p.interval.b != interval.b)):
+                raise ValueError("polynomials must share an interval")
+        deg = max(p.degree for p in self.value)
+        odd = all(p.is_odd for p in self.value)
+        even = all(p.is_even for p in self.value)
+        self.value = [
+            bn.Polynomial(basis=basis,
+                          coeffs=list(p.coeffs) + [None] * (deg - p.degree),
+                          interval=p.interval, is_odd=odd, is_even=even)
+            for p in self.value]
+        seen = set()
+        for i, idx in self.mapping.items():
+            if not 0 <= i < len(self.value):
+                raise ValueError(f"mapping key {i} out of range")
+            dup = seen.intersection(idx)
+            if dup:
+                raise ValueError(f"slots {sorted(dup)[:4]} mapped twice")
+            seen.update(idx)
+
+    @property
+    def basis(self) -> str:
+        return self.value[0].basis
+
+    @property
+    def degree(self) -> int:
+        return self.value[0].degree
+
+    @property
+    def is_odd(self) -> bool:
+        return self.value[0].is_odd
+
+    @property
+    def is_even(self) -> bool:
+        return self.value[0].is_even
+
+    def change_of_basis(self):
+        return self.value[0].change_of_basis()
+
+    def evaluate(self, i: int, x) -> complex:
+        return self.value[i].evaluate(x)
+
+
+@dataclasses.dataclass
 class PSDecomposition:
     degree: int
     base: int
@@ -209,16 +275,22 @@ def _recurse_ps(log_split: int, target_level: int, p: PSPoly, pb, output_scale,
 # Evaluation.
 # ---------------------------------------------------------------------------
 
-def evaluate(ev, enc, ct_or_pb, poly: bn.Polynomial,
-             target_scale: Fraction) -> Ciphertext:
+def evaluate(ev, enc, ct_or_pb, poly,
+             target_scale: Fraction, slots: int | None = None) -> Ciphertext:
     """Evaluate (polynomial_evaluator.go:29-96): generic P-S evaluation.
 
     ``ev``: scheme evaluator; ``enc``: scheme encoder; ``ct_or_pb``: input
-    ciphertext or pre-computed PowerBasis.  For Chebyshev-basis polynomials
-    the caller must first apply the change of basis
+    ciphertext or pre-computed PowerBasis.  ``poly`` is a single
+    ``bn.Polynomial`` or a slot-mapped ``PolynomialVector``
+    (polynomial_evaluator.go vectorized path).  For Chebyshev-basis
+    polynomials the caller must first apply the change of basis
     ct' = scalar * ct + constant (poly.change_of_basis())."""
-    coeff_vectors = None
     params = ev.params
+    if isinstance(poly, PolynomialVector):
+        polys, mapping = poly.value, poly.mapping
+        slots = params.max_slots if slots is None else slots
+    else:
+        polys, mapping = [poly], None
     if isinstance(ct_or_pb, PowerBasis):
         pb = ct_or_pb
     else:
@@ -234,20 +306,22 @@ def evaluate(ev, enc, ct_or_pb, poly: bn.Polynomial,
             pb.gen_power(i, ev)
 
     sim = CKKSSim(params)
-    ps = ps_decompose(poly, pb.value[1].level, pb.value[1].scale,
-                      Fraction(target_scale), sim)
-    return _evaluate_ps(ev, enc, ps, pb, coeff_vectors)
+    ps_list = [ps_decompose(p, pb.value[1].level, pb.value[1].scale,
+                            Fraction(target_scale), sim) for p in polys]
+    return _evaluate_ps(ev, enc, ps_list, pb, mapping, slots)
 
 
-def _evaluate_ps(ev, enc, ps: PSDecomposition, pb: PowerBasis,
-                 coeff_vectors) -> Ciphertext:
-    """EvaluatePatersonStockmeyerPolynomialVector (:101-160)."""
-    split = len(ps.value)
+def _evaluate_ps(ev, enc, ps_list: list, pb: PowerBasis,
+                 mapping, slots) -> Ciphertext:
+    """EvaluatePatersonStockmeyerPolynomialVector (:101-160).  ``ps_list``
+    holds one (structurally identical) decomposition per vector entry."""
+    split = len(ps_list[0].value)
     baby = []
     for i in range(split):
-        sub = ps.value[i]
+        sub = ps_list[0].value[i]
         baby.append([sub.degree if sub.degree > 0 else 0,
-                     _evaluate_baby(ev, enc, sub, pb, coeff_vectors)])
+                     _evaluate_baby(ev, enc, [ps.value[i] for ps in ps_list],
+                                    pb, mapping, slots)])
     baby.reverse()  # ascending degree order
 
     while len(baby) > 1:
@@ -292,16 +366,18 @@ def _eval_monomial(ev, a: Ciphertext, b: Ciphertext, xpow: Ciphertext) -> Cipher
     return ev.add(b, a)
 
 
-def _evaluate_baby(ev, enc, sub: PSPoly, pb: PowerBasis,
-                   coeff_vectors) -> Ciphertext:
+def _evaluate_baby(ev, enc, subs: list, pb: PowerBasis,
+                   mapping, slots) -> Ciphertext:
     """EvaluatePolynomialVectorFromPowerBasis (:258-340): res = sum c_k X^k
-    evaluated at (sub.level, sub.scale)."""
+    evaluated at (sub.level, sub.scale).  With a slot ``mapping``, c_k is a
+    per-slot vector scattering each sub-polynomial's coefficient onto its
+    assigned slots."""
     import jax.numpy as jnp
-    from matrix_fhe_tpu.rlwe.elements import Plaintext
 
     params = ev.params
+    sub = subs[0]
     target_level, target_scale = sub.level, sub.scale
-    cs = sub.poly.coeffs_complex()
+    css = [s.poly.coeffs_complex() for s in subs]
     x1 = pb.value[1]
 
     zero = jnp.zeros(x1.value[0].shape[:-2] + (target_level + 1, params.n),
@@ -310,10 +386,15 @@ def _evaluate_baby(ev, enc, sub: PSPoly, pb: PowerBasis,
                      metadata=x1.metadata).with_metadata(scale=target_scale)
 
     def coeff(k):
-        if coeff_vectors is not None:
-            return coeff_vectors.get(k)
-        c = cs[k] if k < len(cs) else 0j
-        return None if c == 0 else c
+        vals = [cs[k] if k < len(cs) else 0j for cs in css]
+        if all(c == 0 for c in vals):
+            return None
+        if mapping is None:
+            return vals[0]
+        v = np.zeros(slots, dtype=complex)
+        for i, idx in mapping.items():
+            v[np.asarray(idx, dtype=int)] = vals[i]
+        return v
 
     c0 = coeff(0)
     if c0 is not None:

@@ -163,23 +163,33 @@ class Polynomial:
 
     def evaluate(self, x) -> complex:
         """Horner (monomial) or Clenshaw-style recurrence (Chebyshev)
-        (polynomial.go:173-250); float64 output."""
-        xr = Decimal(x)
+        (polynomial.go:173-250); accepts real or complex x, float64 output."""
+        if isinstance(x, complex):
+            xr, xi = Decimal(x.real), Decimal(x.imag)
+        else:
+            xr, xi = Decimal(x), Decimal(0)
         cs = [(Decimal(0), Decimal(0)) if c is None else c for c in self.coeffs]
+
+        def cmul(ar, ai, br, bi):
+            return ar * br - ai * bi, ar * bi + ai * br
+
         if self.basis == MONOMIAL:
             yr, yi = cs[-1]
             for cr, ci in reversed(cs[:-1]):
-                yr, yi = yr * xr + cr, yi * xr + ci
+                yr, yi = cmul(yr, yi, xr, xi)
+                yr, yi = yr + cr, yi + ci
             return complex(float(yr), float(yi))
         scalar, constant = self.change_of_basis()
-        u = xr * scalar + constant
+        ur, ui = xr * scalar + constant, xi * scalar
         yr, yi = cs[0]
-        t_prev, t = Decimal(1), u
+        tp_r, tp_i = Decimal(1), Decimal(0)
+        t_r, t_i = ur, ui
         for i in range(1, len(cs)):
             cr, ci = cs[i]
-            yr += cr * t
-            yi += ci * t
-            t_prev, t = t, 2 * u * t - t_prev
+            pr, pi = cmul(cr, ci, t_r, t_i)
+            yr, yi = yr + pr, yi + pi
+            nr, ni = cmul(2 * ur, 2 * ui, t_r, t_i)
+            tp_r, tp_i, t_r, t_i = t_r, t_i, nr - tp_r, ni - tp_i
         return complex(float(yr), float(yi))
 
     def evaluate_decimal(self, x: Decimal) -> Decimal:

@@ -87,3 +87,51 @@ def test_eval_monomial_poly(ctx):
     got = _dec(ctx, out)
     want = np.polyval(list(reversed(coeffs)), np.real(v))
     ckks.precision.assert_precision(want, got, 12)
+
+
+def test_eval_polynomial_vector(ctx):
+    """Vectorized evaluation: sin on even slots, cos on odd slots
+    (examples/singleparty/ckks_vectorized_polynomial_evaluation/main.go)."""
+    params, enc, sk, ev = ctx
+    rng = np.random.default_rng(5)
+    v = rng.uniform(-1, 1, params.max_slots) + 0j
+    ct = _enc(ctx, v, 5)
+    itv = bn.Interval(-1, 1, nodes=15)
+    p_sin = bn.chebyshev_approximation(lambda x: bn.sin(x), itv)
+    p_cos = bn.chebyshev_approximation(lambda x: bn.cos(x), itv)
+    even = list(range(0, params.max_slots, 2))
+    odd = list(range(1, params.max_slots, 2))
+    polys = poly_circ.PolynomialVector(value=[p_sin, p_cos],
+                                       mapping={0: even, 1: odd})
+    out = poly_circ.evaluate(ev, enc, ct, polys, params.default_scale)
+    assert out.scale == params.default_scale
+    got = _dec(ctx, out)
+    want = np.where(np.arange(params.max_slots) % 2 == 0,
+                    np.sin(np.real(v)), np.cos(np.real(v)))
+    ckks.precision.assert_precision(want, got, 13)
+
+
+def test_polynomial_vector_partial_mapping(ctx):
+    """Unmapped slots evaluate to ~0; mismatched bases rejected."""
+    params, enc, sk, ev = ctx
+    rng = np.random.default_rng(6)
+    v = rng.uniform(-1, 1, params.max_slots) + 0j
+    ct = _enc(ctx, v, 6)
+    coeffs = [0.5, -1.0, 0.25, 0.75]
+    p = bn.Polynomial.from_values(bn.MONOMIAL, coeffs)
+    p.is_odd = p.is_even = False
+    half = list(range(params.max_slots // 2))
+    polys = poly_circ.PolynomialVector(value=[p], mapping={0: half})
+    out = poly_circ.evaluate(ev, enc, ct, polys, params.default_scale)
+    got = _dec(ctx, out)
+    want = np.polyval(list(reversed(coeffs)), np.real(v))
+    want[params.max_slots // 2:] = 0
+    ckks.precision.assert_precision(want, got, 12)
+
+    with pytest.raises(ValueError):
+        poly_circ.PolynomialVector(
+            value=[p, bn.Polynomial.from_values(bn.CHEBYSHEV, coeffs,
+                                                interval=bn.Interval(-1, 1))],
+            mapping={0: [0], 1: [1]})
+    with pytest.raises(ValueError):
+        poly_circ.PolynomialVector(value=[p, p], mapping={0: [0, 1], 1: [1]})
