@@ -206,6 +206,13 @@ def _right_mul(xc, bt_pl, R, C, ck, q, qinv):
 
 
 def _make_kernel(R: int, C: int, ptile: int, fwd: bool):
+    """All ``ptile`` polynomials of the block are stacked into ONE pair of
+    wide MXU matmuls per transform (left factor: polys side-by-side in the
+    columns, [R, ptile*C]; right factor: polys stacked in the rows,
+    [ptile*R, C]) so the MXU sees [3R, R] @ [R, 3*ptile*C]-sized work and the
+    VPU recombination runs on ptile-times-wider arrays instead of a serial
+    per-poly loop of tiny [128, 128] ops."""
+
     def kernel(scal_ref, x_ref, a_ref, bt_ref, tw_ref, out_ref):
         l = pl.program_id(1)
         q = scal_ref[l, 0]
@@ -214,31 +221,37 @@ def _make_kernel(R: int, C: int, ptile: int, fwd: bool):
         a_pl = a_ref[0]     # [3R, R]
         bt_pl = bt_ref[0]   # [C, 3C]
         tw = tw_ref[0]      # [R, C]
+        tw_wide = jnp.concatenate([tw] * ptile, axis=1)  # [R, ptile*C]
 
-        for p in range(ptile):
-            x = x_ref[0, p, :].reshape(R, C).astype(jnp.float32)
-            xc = jnp.where(x > q * 0.5, x - q, x)
+        x = x_ref[0].astype(jnp.float32)          # [ptile, N]
+        xc = jnp.where(x > q * 0.5, x - q, x)
 
-            if fwd:
-                # OUT = (T .* (A @ X)) @ B^T
-                y = _left_mul(a_pl, xc, R, C, ck, q, qinv)
-                w = _mulmod(y, tw, q, qinv)
-                out = _right_mul(w, bt_pl, R, C, ck, q, qinv)
-            else:
-                # X = Ainv @ (Tinv .* (OUT @ Binv^T))
-                v = _right_mul(xc, bt_pl, R, C, ck, q, qinv)
-                w = _mulmod(v, tw, q, qinv)
-                out = _left_mul(a_pl, w, R, C, ck, q, qinv)
-
+        if fwd:
+            # OUT = (T .* (A @ X)) @ B^T
+            xt = xc.reshape(ptile, R, C).swapaxes(0, 1).reshape(R, ptile * C)
+            y = _left_mul(a_pl, xt, R, ptile * C, ck, q, qinv)
+            w = _mulmod(y, tw_wide, q, qinv)       # [R, ptile*C]
+            w2 = w.reshape(R, ptile, C).swapaxes(0, 1).reshape(ptile * R, C)
+            out = _right_mul(w2, bt_pl, ptile * R, C, ck, q, qinv)
             out = jnp.where(out < 0, out + q, out)
-            out_ref[0, p, :] = out.reshape(1, R * C).astype(jnp.int32)[0]
+            out_ref[0] = out.reshape(ptile, R * C).astype(jnp.int32)
+        else:
+            # X = Ainv @ (Tinv .* (OUT @ Binv^T))
+            x2 = xc.reshape(ptile * R, C)
+            v = _right_mul(x2, bt_pl, ptile * R, C, ck, q, qinv)
+            vt = v.reshape(ptile, R, C).swapaxes(0, 1).reshape(R, ptile * C)
+            w = _mulmod(vt, tw_wide, q, qinv)
+            out = _left_mul(a_pl, w, R, ptile * C, ck, q, qinv)
+            out = jnp.where(out < 0, out + q, out)
+            out3 = out.reshape(R, ptile, C).swapaxes(0, 1)
+            out_ref[0] = out3.reshape(ptile, R * C).astype(jnp.int32)
 
     return kernel
 
 
-@functools.partial(jax.jit, static_argnames=("fwd", "ptile"))
+@functools.partial(jax.jit, static_argnames=("fwd", "ptile", "interpret"))
 def _transform(x: jnp.ndarray, tabs: PallasNTTTables, fwd: bool,
-               ptile: int = 8) -> jnp.ndarray:
+               ptile: int = 8, interpret: bool = False) -> jnp.ndarray:
     """x: int32 [B, L, N] in [0, q) -> transformed, same shape/dtype."""
     B, L, N = x.shape
     R, C = tabs.rows, tabs.cols
@@ -256,14 +269,17 @@ def _transform(x: jnp.ndarray, tabs: PallasNTTTables, fwd: bool,
     # the package enables x64 globally (u64 ring arithmetic); Mosaic requires
     # 32-bit index types, so trace the kernel with x64 off
     with jax.enable_x64(False):
-        out = _call(kernel, grid, tabs, xt, a, bt, tw, R, C, ptile, B, L, N)
+        out = _call(kernel, grid, tabs, xt, a, bt, tw, R, C, ptile, B, L, N,
+                    interpret)
     return jnp.swapaxes(out, 0, 1).astype(x.dtype)
 
 
-def _call(kernel, grid, tabs, xt, a, bt, tw, R, C, ptile, B, L, N):
+def _call(kernel, grid, tabs, xt, a, bt, tw, R, C, ptile, B, L, N,
+          interpret=False):
     return pl.pallas_call(
         kernel,
         grid=grid,
+        interpret=interpret,
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),  # full [L, 8] scalars
             pl.BlockSpec((1, ptile, N), lambda b, l: (l, b, 0),
@@ -285,9 +301,11 @@ def _call(kernel, grid, tabs, xt, a, bt, tw, R, C, ptile, B, L, N):
     )(tabs.scal, xt, a, bt, tw)
 
 
-def ntt_fwd(x: jnp.ndarray, tabs: PallasNTTTables, ptile: int = 8) -> jnp.ndarray:
-    return _transform(x, tabs, fwd=True, ptile=ptile)
+def ntt_fwd(x: jnp.ndarray, tabs: PallasNTTTables, ptile: int = 8,
+            interpret: bool = False) -> jnp.ndarray:
+    return _transform(x, tabs, fwd=True, ptile=ptile, interpret=interpret)
 
 
-def ntt_bwd(x: jnp.ndarray, tabs: PallasNTTTables, ptile: int = 8) -> jnp.ndarray:
-    return _transform(x, tabs, fwd=False, ptile=ptile)
+def ntt_bwd(x: jnp.ndarray, tabs: PallasNTTTables, ptile: int = 8,
+            interpret: bool = False) -> jnp.ndarray:
+    return _transform(x, tabs, fwd=False, ptile=ptile, interpret=interpret)
