@@ -93,6 +93,46 @@ def _digit_planes(mat, q: int) -> np.ndarray:
     return np.stack([d0, d1, d2]).astype(np.int8)
 
 
+def four_step_factors(n: int, q: int, psi: int):
+    """Closed-form four-step NTT factors for modulus q and 2N-th root psi.
+
+    Returns (A, T, B, Ainv, Binv, Tinv) as int64 numpy arrays with the exact
+    layouts documented in the module docstring.  The inverses are analytic
+    (negacyclic/cyclic DFT inversion formulas) — A⁻¹[j₁,i] = R⁻¹·ψ^(−C·e_i·j₁)
+    and B⁻¹[j₀,i] = C⁻¹·ψ^(−2R·brv(i)·j₀) — so no Gaussian elimination is
+    needed; N⁻¹ = R⁻¹·C⁻¹ is split across the two inverse factors.  All
+    matrices are gathers from one ψ-power table (2N Python-int mults total).
+    """
+    logn = n.bit_length() - 1
+    a_bits = logn // 2
+    b_bits = logn - a_bits
+    R, C = 1 << a_bits, 1 << b_bits
+    two_n = 2 * n
+
+    pows = np.empty(two_n, dtype=np.int64)
+    v = 1
+    for k in range(two_n):
+        pows[k] = v
+        v = v * psi % q
+
+    e_hi = np.array([2 * bit_reverse(i, a_bits) + 1 for i in range(R)],
+                    dtype=np.int64)
+    brv_c = np.array([bit_reverse(i, b_bits) for i in range(C)],
+                     dtype=np.int64)
+    j1 = np.arange(R, dtype=np.int64)
+    j0 = np.arange(C, dtype=np.int64)
+    rinv = pow(R, q - 2, q)
+    cinv = pow(C, q - 2, q)
+
+    A = pows[(C * e_hi[:, None] * j1[None]) % two_n]
+    T = pows[(e_hi[:, None] * j0[None]) % two_n]
+    B = pows[(2 * R * brv_c[:, None] * j0[None]) % two_n]
+    Ainv = pows[(-C * j1[:, None] * e_hi[None]) % two_n] * rinv % q
+    Binv = pows[(-2 * R * j0[:, None] * brv_c[None]) % two_n] * cinv % q
+    Tinv = pows[(-e_hi[:, None] * j0[None]) % two_n]
+    return A, T, B, Ainv, Binv, Tinv
+
+
 def _inv_mat(m: list[list[int]], q: int) -> list[list[int]]:
     n = len(m)
     A = [row[:] + [1 if i == j else 0 for j in range(n)] for i, row in enumerate(m)]
@@ -145,18 +185,7 @@ def build_tables(n: int, moduli: list[int]) -> MxuNTTTables:
             raise ValueError(f"modulus {q} too large for the w22 MXU path")
         g, _ = pr.primitive_root(q)
         psi = pow(g, (q - 1) // (2 * n), q)
-
-        e_hi = [2 * bit_reverse(i, a_bits) + 1 for i in range(R)]
-        A = [[pow(psi, C * e_hi[i] * j1 % (2 * n), q) for j1 in range(R)]
-             for i in range(R)]
-        T = [[pow(psi, e_hi[i] * j0 % (2 * n), q) for j0 in range(C)]
-             for i in range(R)]
-        B = [[pow(psi, 2 * R * bit_reverse(ilo, b_bits) * j0 % (2 * n), q)
-              for j0 in range(C)] for ilo in range(C)]
-
-        Ainv = _inv_mat(A, q)
-        Binv = _inv_mat(B, q)  # for out @ B^T: inverse is @ (B^T)^{-1} = Binv^T
-        Tinv = [[pow(t, q - 2, q) for t in row] for row in T]
+        A, T, B, Ainv, Binv, Tinv = four_step_factors(n, q, psi)
 
         # Layouts chosen so every contraction is (input last axis) x (matrix
         # first axis) with the limb axis as the dot_general batch dim:

@@ -33,7 +33,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from matrix_fhe_tpu.ops.mxu_ntt import (
-    MAX_W22_MODULUS, _digit_planes, _inv_mat, find_w22_primes)
+    MAX_W22_MODULUS, _digit_planes, find_w22_primes, four_step_factors)
 from matrix_fhe_tpu.ops.rings import bit_reverse
 from matrix_fhe_tpu.utils import primes as pr
 
@@ -74,19 +74,9 @@ def build_tables(n: int, moduli: list[int]) -> PallasNTTTables:
             raise ValueError(f"modulus {q} too large for the w22 MXU path")
         g, _ = pr.primitive_root(q)
         psi = pow(g, (q - 1) // (2 * n), q)
-
-        e_hi = [2 * bit_reverse(i, a_bits) + 1 for i in range(R)]
-        A = [[pow(psi, C * e_hi[i] * j1 % (2 * n), q) for j1 in range(R)]
-             for i in range(R)]
-        T = [[pow(psi, e_hi[i] * j0 % (2 * n), q) for j0 in range(C)]
-             for i in range(R)]
-        B = [[pow(psi, 2 * R * bit_reverse(ilo, b_bits) * j0 % (2 * n), q)
-              for j0 in range(C)] for ilo in range(C)]
-        Ainv = _inv_mat(A, q)
-        ninv = 1  # N^{-1} folded via Ainv of the exact forward (A inverse
-        # already inverts the full left factor; B inverse the right)
-        Binv = _inv_mat(B, q)
-        Tinv = [[pow(t, q - 2, q) for t in row] for row in T]
+        # closed-form factors incl. analytic inverses (N^{-1} split across
+        # Ainv and Binv)
+        A, T, B, Ainv, Binv, Tinv = four_step_factors(n, q, psi)
 
         def stack_rows(mat):
             """[3, r, c] planes -> [3r, c]."""

@@ -48,7 +48,7 @@ def test_tables_match_mxu_path():
 @pytest.mark.skipif(not os.environ.get("MATRIX_FHE_TEST_TPU"),
                     reason="Mosaic kernel needs real TPU hardware")
 def test_pallas_kernel_bit_exact_tpu():
-    n, limbs, batch = 1 << 12, 4, 8
+    n, limbs, batch = 1 << 14, 4, 8
     moduli = pallas_ntt.find_w22_primes(n, limbs)
     tabs = pallas_ntt.build_tables(n, moduli)
     ring = rings.new_ring(n, moduli, rings.STANDARD)
