@@ -1,7 +1,14 @@
-"""Scratch probe: honest on-device timing of the Pallas NTT variants.
+"""Scratch probe: cost attribution for the v2 Pallas NTT kernel.
 
 The axon tunnel adds ~26 ms fixed per host sync, so each measurement chains
-K kernel invocations inside ONE jit (data-dependent fori_loop) and divides.
+K kernel invocations inside ONE jit (fori_loop) and divides.
+
+Variants (cumulative structure of the forward kernel):
+  copy      -- load block, center, store (HBM + canonicalize floor)
+  mm1       -- + transpose, digits, stage-1 matmul, take one output block
+  red1      -- + full stage-1 Horner reduction chain
+  shoup     -- + twiddle Shoup multiply
+  full      -- + transpose, stage-2 matmul + reductions (the real kernel)
 """
 from __future__ import annotations
 
@@ -15,7 +22,7 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from matrix_fhe_tpu.ops import pallas_ntt as P
+from matrix_fhe_tpu.ops import pallas_ntt2 as P
 
 K_CHAIN = 40
 
@@ -23,15 +30,13 @@ K_CHAIN = 40
 def chain(fn):
     @jax.jit
     def run(x):
-        def body(_, y):
-            return fn(y)
-        return jax.lax.fori_loop(0, K_CHAIN, body, x)
+        return jax.lax.fori_loop(0, K_CHAIN, lambda _, y: fn(y), x)
     return run
 
 
 def timeit_chained(fn, x, reps=3):
     f = chain(fn)
-    jax.block_until_ready(f(x))  # compile + warm
+    jax.block_until_ready(f(x))
     best = float("inf")
     for _ in range(reps):
         t0 = time.perf_counter()
@@ -41,67 +46,40 @@ def timeit_chained(fn, x, reps=3):
 
 
 def make_variant_kernel(R, C, ptile, mode):
-    def kernel(scal_ref, x_ref, a_ref, bt_ref, tw_ref, out_ref):
+    def kernel(scal_ref, x_ref, a2_ref, b2_ref, twi_ref, twf_ref, out_ref):
         l = pl.program_id(1)
-        q = scal_ref[l, 0]
+        qf = scal_ref[l, 0]
         qinv = scal_ref[l, 1]
-        ck = [scal_ref[l, 2 + k] for k in range(5)]
-        a_pl = a_ref[0]
-        bt_pl = bt_ref[0]
-        tw = tw_ref[0]
+        qi = qf.astype(jnp.int32)
+        a2 = a2_ref[0]
+        b2 = b2_ref[0]
+        t_i = twi_ref[0]
+        t_f = twf_ref[0]
 
-        x = x_ref[0].astype(jnp.float32)
-        xc = jnp.where(x > q * 0.5, x - q, x)
-
+        x = x_ref[:]
+        v = jnp.where(x > qi >> 1, x - qi, x)
         if mode == "copy":
-            out_ref[0] = xc.astype(jnp.int32)
+            out_ref[:] = v
             return
-
-        tw_wide = jnp.concatenate([tw] * ptile, axis=1)
-        if mode == "notrans":
-            x2 = xc.reshape(ptile * R, C)
-            y = P._right_mul(x2, bt_pl, ptile * R, C, ck, q, qinv)
-            twb = jnp.concatenate([tw] * ptile, axis=0)
-            w = P._mulmod(y, twb, q, qinv)
-            out = P._right_mul(w, bt_pl, ptile * R, C, ck, q, qinv)
-            out = jnp.where(out < 0, out + q, out)
-            out_ref[0] = out.reshape(ptile, R * C).astype(jnp.int32)
-            return
-
-        if mode == "norecomb":
-            xt = xc.reshape(ptile, R, C).swapaxes(0, 1).reshape(R, ptile * C)
-            rhs = P._digits_cols(xt, R)
+        xt = P._transpose_tiles(v.reshape(ptile * R, C), ptile, R, C)
+        dig = P._digits3(xt, R)
+        if mode == "mm1":
             mm = jax.lax.dot_general(
-                a_pl, rhs, dimension_numbers=(((1,), (0,)), ((), ())),
+                dig, a2, dimension_numbers=(((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.int32)
-            y = (mm[:R, :ptile * C] + mm[R:2 * R, ptile * C:2 * ptile * C]
-                 + mm[2 * R:, 2 * ptile * C:]).astype(jnp.float32)
-            w = y * tw_wide
-            w = w - jnp.rint(w * qinv) * q
-            w2 = w.reshape(R, ptile, C).swapaxes(0, 1).reshape(ptile * R, C)
-            lhs = P._digits(w2)
-            mm2 = jax.lax.dot_general(
-                lhs, bt_pl, dimension_numbers=(((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.int32)
-            out = (mm2[:ptile * R, :C] + mm2[ptile * R:2 * ptile * R, C:2 * C]
-                   + mm2[2 * ptile * R:, 2 * C:]).astype(jnp.float32)
-            out = jnp.where(out < 0, out + q, out)
-            out_ref[0] = out.reshape(ptile, R * C).astype(jnp.int32)
+            out_ref[:] = mm[:, :R].reshape(ptile, R * C)
             return
-
-        xt = xc.reshape(ptile, R, C).swapaxes(0, 1).reshape(R, ptile * C)
-        y = P._left_mul(a_pl, xt, R, ptile * C, ck, q, qinv)
-        w = P._mulmod(y, tw_wide, q, qinv)
-        if mode == "onestage":
-            w2 = w.reshape(R, ptile, C).swapaxes(0, 1)
-            out = jnp.where(w2 < 0, w2 + q, w2)
-            out_ref[0] = out.reshape(ptile, R * C).astype(jnp.int32)
+        y = P._mm_reduce(dig, a2, qinv, qi)
+        if mode == "red1":
+            out_ref[:] = y.reshape(ptile, R * C)
             return
-        w2 = w.reshape(R, ptile, C).swapaxes(0, 1).reshape(ptile * R, C)
-        out = P._right_mul(w2, bt_pl, ptile * R, C, ck, q, qinv)
-        out = jnp.where(out < 0, out + q, out)
-        out_ref[0] = out.reshape(ptile, R * C).astype(jnp.int32)
-
+        w = P._shoup_mul(y, t_i, t_f, qinv, qi, ptile)
+        if mode == "shoup":
+            out_ref[:] = w.reshape(ptile, R * C)
+            return
+        w2 = P._transpose_tiles(w, ptile, C, R)
+        out = P._mm_reduce(P._digits3(w2, C), b2, qinv, qi)
+        out_ref[:] = P._canon(out, qi).reshape(ptile, R * C)
     return kernel
 
 
@@ -111,17 +89,35 @@ def run(x, tabs, mode, ptile):
     R, C = tabs.rows, tabs.cols
     kernel = make_variant_kernel(R, C, ptile, mode)
     grid = (B // ptile, L)
-    xt = jnp.swapaxes(x.astype(jnp.int32), 0, 1)
+    xf = x.astype(jnp.int32).reshape(B, L * N)
     with jax.enable_x64(False):
-        out = P._call(kernel, grid, tabs, xt, tabs.a_fwd, tabs.bt_fwd,
-                      tabs.tw_fwd, R, C, ptile, B, L, N)
-    return jnp.swapaxes(out, 0, 1)
+        out = pl.pallas_call(
+            kernel,
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec(memory_space=pltpu.SMEM),
+                pl.BlockSpec((ptile, N), lambda b, l: (b, l),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1,) + tabs.a2.shape[1:], lambda b, l: (l, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1,) + tabs.b2.shape[1:], lambda b, l: (l, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1,) + tabs.tw_i.shape[1:], lambda b, l: (l, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1,) + tabs.tw_f.shape[1:], lambda b, l: (l, 0, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((ptile, N), lambda b, l: (b, l),
+                                   memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((B, L * N), jnp.int32),
+        )(tabs.scal, xf, tabs.a2, tabs.b2, tabs.tw_i, tabs.tw_f)
+    return out.reshape(B, L, N)
 
 
 def main():
     logn, limbs, batch = 14, 10, 64
     n = 1 << logn
-    moduli = P.find_w22_primes(n, limbs)
+    moduli = P.find_v2_primes(n, limbs)
     tabs = P.build_tables(n, moduli)
     rng = np.random.default_rng(0)
     x = jnp.asarray(rng.integers(0, min(moduli), (batch, limbs, n),
@@ -129,7 +125,7 @@ def main():
     n_ntt = batch * limbs
 
     modes = sys.argv[1].split(",") if len(sys.argv) > 1 else [
-        "copy", "norecomb", "onestage", "full"]
+        "copy", "mm1", "red1", "shoup", "full"]
     ptiles = [int(p) for p in sys.argv[2].split(",")] if len(sys.argv) > 2 \
         else [8]
     for ptile in ptiles:

@@ -44,6 +44,12 @@ from matrix_fhe_tpu.ops.rings import bit_reverse
 from matrix_fhe_tpu.utils import primes as pr
 
 MAX_W22_MODULUS = 1 << 22
+# The digit/Dekker machinery is exact for any q < 2^23 (centered values
+# < 2^22 keep all three balanced digits in int8 and every f32 product below
+# 2^46); find_w22_primes stays conservative, but build_tables accepts the
+# full range so the fast path (fast/fring.py) can share one prime pool with
+# the fused Pallas kernel (ops/pallas_ntt2.py, same 2^23 bound).
+MAX_NTT_MODULUS = 1 << 23
 
 
 def find_w22_primes(n: int, count: int) -> list[int]:
@@ -181,8 +187,8 @@ def build_tables(n: int, moduli: list[int]) -> MxuNTTTables:
     ai_dig, bti_dig, twi = [], [], []
     cks = []
     for q in moduli:
-        if q >= MAX_W22_MODULUS:
-            raise ValueError(f"modulus {q} too large for the w22 MXU path")
+        if q >= MAX_NTT_MODULUS:
+            raise ValueError(f"modulus {q} too large for the MXU digit path")
         g, _ = pr.primitive_root(q)
         psi = pow(g, (q - 1) // (2 * n), q)
         A, T, B, Ainv, Binv, Tinv = four_step_factors(n, q, psi)
