@@ -14,3 +14,4 @@ bit-exact against the u64 path on the same moduli.
 """
 
 from matrix_fhe_tpu.fast.fring import FastRing, new_fast_ring  # noqa: F401
+from matrix_fhe_tpu.fast import fckks, fring, frns  # noqa: F401

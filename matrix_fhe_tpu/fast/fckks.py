@@ -70,6 +70,40 @@ def make_context(params, rlk, rescale_limbs: int = 2) -> FastCKKSContext:
     )
 
 
+def make_synthetic_context(logn: int, num_q: int, num_p: int,
+                           rescale_limbs: int = 2, seed: int = 0):
+    """Fast context + uniform-random ciphertext operands for throughput
+    benchmarking.  The homomorphic step's cost is data-independent; NTT-domain
+    ciphertext limbs are uniform mod q, so random operands time identically to
+    real ones (correctness is pinned separately, bit-exact vs the u64
+    evaluator, in tests/test_fckks.py)."""
+    n = 1 << logn
+    moduli = fring.find_fast_primes(n, num_q + num_p)
+    Q, P = moduli[:num_q], moduli[num_q:]
+    ring_q = fring.new_fast_ring(n, Q)
+    ring_p = fring.new_fast_ring(n, P)
+    dec = frns.gen_fast_decomposer(Q, P)
+
+    rng = np.random.default_rng(seed)
+
+    def unif(shape, mods):
+        hi = np.array(mods, dtype=np.int64).reshape(
+            (1,) * (len(shape) - 2) + (len(mods), 1))
+        return jnp.asarray(
+            (rng.integers(0, 1 << 62, shape, dtype=np.int64) % hi)
+            .astype(np.int32))
+
+    ctx = FastCKKSContext(
+        ring_q=ring_q, ring_p=ring_p, dec=dec,
+        mdc=frns.gen_fast_moddown_constants(Q, P),
+        rlk_q=unif((dec.num_digits, 2, num_q, n), Q),
+        rlk_p=unif((dec.num_digits, 2, num_p, n), P),
+        rescale_limbs=rescale_limbs,
+    )
+    cts = tuple(unif((num_q, n), Q) for _ in range(4))
+    return ctx, cts
+
+
 def tensor(ctx: FastCKKSContext, c0, c1, d0, d1):
     """NTT-domain degree-2 tensor (evaluator.go:786-865): plain f32-Shoup
     multiplies, no Montgomery forms."""
@@ -93,24 +127,34 @@ def gadget_product(ctx: FastCKKSContext, t2):
     pp, pf = rp.moduli[:, None], rp.qinv_f[:, None]
     x_inv = rq.intt(t2)
 
-    acc = [None] * 4  # d0q, d1q, d0p, d1p
-    for i in range(ctx.dec.num_digits):
-        yq, yp = frns.decompose_single_ntt(ctx.dec, i, t2, x_inv, rq, rp)
-        prods = (
-            fring.mulmod_lazy_centered(ctx.rlk_q[i, 0], yq, qq, qf),
-            fring.mulmod_lazy_centered(ctx.rlk_q[i, 1], yq, qq, qf),
-            fring.mulmod_lazy_centered(ctx.rlk_p[i, 0], yp, pp, pf),
-            fring.mulmod_lazy_centered(ctx.rlk_p[i, 1], yp, pp, pf),
-        )
-        acc = [p if a is None else a + p for a, p in zip(acc, prods)]
+    # all digits lifted in the coefficient domain, then ONE batched NTT per
+    # ring (grid-parallel over digits x limbs) instead of D sequential calls
+    yq_c, yp_c = frns.decompose_all_coeff(ctx.dec, x_inv, rq, rp)
+    yq = rq.ntt(yq_c)                       # [D, LQ, N]
+    yp = rp.ntt(yp_c)                       # [D, LP, N]
+    # splice the NTT-domain source band of each digit (DecomposeSingleNTT
+    # keeps limbs [i*alpha, (i+1)*alpha) from the original NTT input)
+    D, lq = yq.shape[-3], yq.shape[-2]
+    limb = jnp.arange(lq)[None, :, None]
+    dig = jnp.arange(D)[:, None, None]
+    in_band = (limb >= dig * ctx.dec.alpha) & (limb < (dig + 1) * ctx.dec.alpha)
+    yq = jnp.where(in_band, t2[..., None, :, :], yq)
 
-    d0q = fring.canon(fring.reduce_once(acc[0], qq, qf), qq)
-    d1q = fring.canon(fring.reduce_once(acc[1], qq, qf), qq)
-    d0p = fring.canon(fring.reduce_once(acc[2], pp, pf), pp)
-    d1p = fring.canon(fring.reduce_once(acc[3], pp, pf), pp)
+    # vectorized lazy-centered MAC over the digit axis: each product is in
+    # (-1.6q, 1.6q), the sum over D <= 16 digits stays < 2^28
+    # dtype=int32: with x64 enabled (CPU tests) jnp.sum would promote to
+    # int64 and break the wrapping-int32 invariant of the downstream mulmods
+    d_q = jnp.sum(fring.mulmod_lazy_centered(
+        ctx.rlk_q, yq[..., :, None, :, :], qq, qf),
+        axis=-4, dtype=jnp.int32)
+    d_p = jnp.sum(fring.mulmod_lazy_centered(
+        ctx.rlk_p, yp[..., :, None, :, :], pp, pf),
+        axis=-4, dtype=jnp.int32)
 
-    d0 = frns.mod_down(d0q, d0p, ctx.mdc, rq, rp, ntt=True)
-    d1 = frns.mod_down(d1q, d1p, ctx.mdc, rq, rp, ntt=True)
+    d_q = fring.canon(fring.reduce_once(d_q, qq, qf), qq)   # [2, LQ, N]
+    d_p = fring.canon(fring.reduce_once(d_p, pp, pf), pp)   # [2, LP, N]
+
+    d0, d1 = frns.mod_down(d_q, d_p, ctx.mdc, rq, rp, ntt=True)
     return d0, d1
 
 

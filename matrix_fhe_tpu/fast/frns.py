@@ -264,6 +264,44 @@ def decompose_single_ntt(dec: FastDecomposer, digit: int, x_ntt: jnp.ndarray,
     return yq, yp
 
 
+def decompose_all_coeff(dec: FastDecomposer, x_inv_ntt: jnp.ndarray,
+                        ring_q: FastRing, ring_p: FastRing
+                        ) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """All hybrid digits, coefficient domain, stacked for one batched NTT:
+    returns (yq [D, LQ, N], yp [D, LP, N]).
+
+    Same per-digit math as decompose_single_ntt minus the NTT/splice: the
+    caller NTTs the stacks in ONE kernel launch each (grid-parallel over
+    digits x limbs instead of D sequential launches) and splices the
+    NTT-domain source band per digit.  Bit-exact with the sequential path."""
+    lq = x_inv_ntt.shape[-2]
+    yqs, yps = [], []
+    for digit in range(dec.num_digits):
+        start = digit * dec.alpha
+        end = min(start + dec.alpha, lq)
+        muc = dec.mucs[digit]
+        if muc is None or end - start == 1:
+            c = x_inv_ntt[..., start:end, :]
+            q_src = ring_q.moduli[start]
+            neg = c >= (q_src >> 1)
+            mag = jnp.where(neg, q_src - c, c)
+            qq = ring_q.moduli[:, None]
+            tq = _red_to(mag, ring_q)
+            yq = jnp.where(neg & (tq != 0), qq - tq, tq)
+            pp = ring_p.moduli[:, None]
+            tp = _red_to(mag, ring_p)
+            yp = jnp.where(neg & (tp != 0), pp - tp, tp)
+        else:
+            src = x_inv_ntt[..., start:end, :]
+            cat = _concat_rings(ring_q, ring_p)
+            both = mod_up(src, muc, _limb_band(ring_q, start, end), cat,
+                          centered=True)
+            yq, yp = both[..., :lq, :], both[..., lq:, :]
+        yqs.append(yq)
+        yps.append(yp)
+    return jnp.stack(yqs, axis=-3), jnp.stack(yps, axis=-3)
+
+
 def _limb_band(ring: FastRing, start: int, end: int) -> FastRing:
     """View of limbs [start, end) (tables sliced like at_level)."""
     s = slice(start, end)

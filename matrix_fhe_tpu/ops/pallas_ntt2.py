@@ -330,6 +330,9 @@ def _transform(x: jnp.ndarray, tabs: NTT2Tables, fwd: bool,
                 flops=2 * 2 * ptile * N * 3 * 3 * max(R, C),
                 bytes_accessed=2 * ptile * N * 4,
                 transcendentals=0),
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=("parallel", "arbitrary"),
+                vmem_limit_bytes=100 * 1024 * 1024),
         )(tabs.scal, xf, a2, b2, t_i, t_f)
     return out.reshape(B, L, N).astype(x.dtype)
 
