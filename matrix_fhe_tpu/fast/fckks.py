@@ -123,6 +123,16 @@ def gadget_product(ctx: FastCKKSContext, t2):
     so the sum over <= 16 digits stays < 2^28, one reduce_once + canon
     restores canonical form before ModDown."""
     rq, rp = ctx.ring_q, ctx.ring_p
+    # Overflow proof: each lazy-centered product is in (-1.6q, 1.6q), so the
+    # digit sum is bounded by 1.6*D*q; fring.reduce_once is exact only for
+    # |v| < 2^30.  Enforce the bound instead of assuming "D <= 16" (ADVICE r2).
+    D = ctx.dec.num_digits
+    qmax = max(max(rq.moduli_tuple), max(rp.moduli_tuple))
+    if int(1.6 * D * qmax) >= 1 << 30:
+        raise ValueError(
+            f"gadget_product digit sum overflows int32 reduce_once: "
+            f"num_digits={D}, max modulus={qmax} "
+            f"(need 1.6*D*q < 2^30)")
     qq, qf = rq.moduli[:, None], rq.qinv_f[:, None]
     pp, pf = rp.moduli[:, None], rp.qinv_f[:, None]
     x_inv = rq.intt(t2)

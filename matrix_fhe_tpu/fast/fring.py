@@ -84,6 +84,19 @@ def mulmod_lazy_centered(a, b, q_i, qinv_f):
     return reduce_once(p - m * q_i, q_i, qinv_f)
 
 
+def ptile_pad(B: int) -> tuple[int, int]:
+    """(poly-tile, batch padding) for the fused Pallas NTT on a batch of B
+    polynomials.  Mosaic requires the second-to-last block dim to be a
+    multiple of 8 OR equal to the array dim, so the only legal tiles are
+    ptile == 8 (with B padded to a multiple of 8) or ptile == B for B < 8
+    (ADVICE r2, high)."""
+    if B % 8 == 0:
+        return 8, 0
+    if B < 8:
+        return B, 0
+    return 8, (-B) % 8
+
+
 # ---------------------------------------------------------------------------
 # Table slicing helper (at_level views over [L, ...] table stacks).
 # ---------------------------------------------------------------------------
@@ -228,10 +241,14 @@ class FastRing:
         *lead, L, N = p.shape
         if self._use_pallas():
             x = p.reshape(-1, L, N)
-            B = x.shape[0]
-            ptile = next(t for t in (8, 4, 2, 1) if B % t == 0)
+            ptile, pad = ptile_pad(x.shape[0])
+            if pad:
+                x = jnp.concatenate(
+                    [x, jnp.zeros((pad, L, N), x.dtype)], axis=0)
             fn = pallas_ntt2.ntt_fwd if fwd else pallas_ntt2.ntt_bwd
             out = fn(x, self.v2_tabs, ptile=ptile)
+            if pad:
+                out = out[:-pad]
             return out.reshape(*lead, L, N)
         fn = mxu_ntt.ntt_fwd if fwd else mxu_ntt.ntt_bwd
         return fn(p, self.mxu_tabs)

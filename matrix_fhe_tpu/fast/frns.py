@@ -228,12 +228,16 @@ def gen_fast_decomposer(Q: list[int], P: list[int]) -> FastDecomposer:
                           lq=len(Q), lp=len(P))
 
 
-def decompose_single_ntt(dec: FastDecomposer, digit: int, x_ntt: jnp.ndarray,
-                         x_inv_ntt: jnp.ndarray, ring_q: FastRing,
-                         ring_p: FastRing) -> tuple[jnp.ndarray, jnp.ndarray]:
-    """DecomposeSingleNTT (core/rlwe/evaluator_gadget_product.go:455-480),
-    fast mirror of rns_tools.decompose_single_ntt."""
-    lq = x_ntt.shape[-2]
+def _lift_digit_coeff(dec: FastDecomposer, digit: int, x_inv_ntt: jnp.ndarray,
+                      ring_q: FastRing, ring_p: FastRing
+                      ) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Coefficient-domain lift of hybrid digit ``digit`` to bases Q and P
+    (the per-digit body of DecomposeSingleNTT,
+    core/rlwe/evaluator_gadget_product.go:455-480): single-limb digits are
+    centered and sign-extended directly; multi-limb digits go through the
+    approximate ModUp.  Shared by decompose_single_ntt / decompose_all_coeff
+    so the two paths cannot drift (ADVICE r2)."""
+    lq = x_inv_ntt.shape[-2]
     start = digit * dec.alpha
     end = min(start + dec.alpha, lq)
     muc = dec.mucs[digit]
@@ -255,6 +259,18 @@ def decompose_single_ntt(dec: FastDecomposer, digit: int, x_ntt: jnp.ndarray,
         both = mod_up(src, muc, _limb_band(ring_q, start, end), cat,
                       centered=True)
         yq, yp = both[..., :lq, :], both[..., lq:, :]
+    return yq, yp
+
+
+def decompose_single_ntt(dec: FastDecomposer, digit: int, x_ntt: jnp.ndarray,
+                         x_inv_ntt: jnp.ndarray, ring_q: FastRing,
+                         ring_p: FastRing) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """DecomposeSingleNTT (core/rlwe/evaluator_gadget_product.go:455-480),
+    fast mirror of rns_tools.decompose_single_ntt."""
+    lq = x_ntt.shape[-2]
+    start = digit * dec.alpha
+    end = min(start + dec.alpha, lq)
+    yq, yp = _lift_digit_coeff(dec, digit, x_inv_ntt, ring_q, ring_p)
 
     yq = ring_q.ntt(yq)
     yq = jnp.concatenate(
@@ -274,29 +290,9 @@ def decompose_all_coeff(dec: FastDecomposer, x_inv_ntt: jnp.ndarray,
     caller NTTs the stacks in ONE kernel launch each (grid-parallel over
     digits x limbs instead of D sequential launches) and splices the
     NTT-domain source band per digit.  Bit-exact with the sequential path."""
-    lq = x_inv_ntt.shape[-2]
     yqs, yps = [], []
     for digit in range(dec.num_digits):
-        start = digit * dec.alpha
-        end = min(start + dec.alpha, lq)
-        muc = dec.mucs[digit]
-        if muc is None or end - start == 1:
-            c = x_inv_ntt[..., start:end, :]
-            q_src = ring_q.moduli[start]
-            neg = c >= (q_src >> 1)
-            mag = jnp.where(neg, q_src - c, c)
-            qq = ring_q.moduli[:, None]
-            tq = _red_to(mag, ring_q)
-            yq = jnp.where(neg & (tq != 0), qq - tq, tq)
-            pp = ring_p.moduli[:, None]
-            tp = _red_to(mag, ring_p)
-            yp = jnp.where(neg & (tp != 0), pp - tp, tp)
-        else:
-            src = x_inv_ntt[..., start:end, :]
-            cat = _concat_rings(ring_q, ring_p)
-            both = mod_up(src, muc, _limb_band(ring_q, start, end), cat,
-                          centered=True)
-            yq, yp = both[..., :lq, :], both[..., lq:, :]
+        yq, yp = _lift_digit_coeff(dec, digit, x_inv_ntt, ring_q, ring_p)
         yqs.append(yq)
         yps.append(yp)
     return jnp.stack(yqs, axis=-3), jnp.stack(yps, axis=-3)

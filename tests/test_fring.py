@@ -89,3 +89,15 @@ def test_batched_shapes():
     got = fr.ntt(_i32(batch))
     want = ur.ntt(_u64(batch))
     _eq(got, want)
+
+
+def test_ptile_pad_always_legal():
+    # Mosaic block-shape rule: second-to-last block dim must be a multiple
+    # of 8 or equal to the (padded) batch dim (ADVICE r2, high: D=7 digit
+    # stacks crashed the TPU ct-mult bench in round 2).
+    for B in list(range(1, 40)) + [63, 64, 65, 128, 133]:
+        ptile, pad = fring.ptile_pad(B)
+        total = B + pad
+        assert total % ptile == 0
+        assert ptile % 8 == 0 or ptile == total
+        assert pad < 8
