@@ -48,22 +48,45 @@ def _time_chained(fn, x, iters: int, reps: int = 3) -> float:
 
 
 def bench_ntt(quick: bool) -> dict:
-    """Headline: the fused v2 Pallas four-step MXU NTT (int32 Shoup
-    reductions over <2^23 moduli, bit-exact vs the u64 reference kernels)."""
+    """Headline: sustained RNS-NTT/s of the fused v2 Pallas four-step MXU
+    kernel (int32 Shoup reductions over <2^23 moduli, bit-exact vs the u64
+    reference kernels).
+
+    Two numbers: ``ntt_per_s`` uses ``ntt_chain`` — k transforms inside ONE
+    kernel with the batch VMEM-resident (the fused-pipeline form used by
+    composite FHE ops, and free of the remote runtime's ~20 ms per-launch
+    overhead); ``ntt_per_s_dispatch`` launches the kernel per transform from
+    HBM (fori_loop of pallas calls, long enough to amortize the same
+    per-call overhead)."""
     import numpy as np
     from matrix_fhe_tpu.ops import pallas_ntt2
 
     logn, limbs = 14, 10
-    batch = 16 if quick else 64
+    batch = 8 if quick else 24
+    k = 50 if quick else 500
     n = 1 << logn
     moduli = pallas_ntt2.find_v2_primes(n, limbs)
     tabs = pallas_ntt2.build_tables(n, moduli)
     rng = np.random.default_rng(0)
     x = jnp.asarray(rng.integers(0, min(moduli), (batch, limbs, n),
                                  dtype=np.int64).astype(np.int32))
+    xd = jnp.asarray(rng.integers(0, min(moduli), (64, limbs, n),
+                                  dtype=np.int64).astype(np.int32))
     try:
-        dt = _time_chained(lambda a: pallas_ntt2.ntt_fwd(a, tabs), x,
-                           iters=10 if quick else 40)
+        fn = jax.jit(lambda a: pallas_ntt2.ntt_chain(a, tabs, k))
+        jax.block_until_ready(fn(x))
+        best = float("inf")
+        for _ in range(3):
+            t0 = time.perf_counter()
+            jax.block_until_ready(fn(x))
+            best = min(best, time.perf_counter() - t0)
+        dt = best / k
+        res = {"ntt_per_s": batch * limbs / dt, "dt": dt,
+               "method": "fused-chain"}
+        dtd = _time_chained(lambda a: pallas_ntt2.ntt_fwd(a, tabs), xd,
+                            iters=20 if quick else 200, reps=2)
+        res["ntt_per_s_dispatch"] = 64 * limbs / dtd
+        return res
     except Exception as e:  # CPU / no Mosaic: fall back to the jnp MXU form
         print(f"pallas path unavailable ({type(e).__name__}); jnp fallback",
               file=sys.stderr)
@@ -71,7 +94,8 @@ def bench_ntt(quick: bool) -> dict:
         tabs2 = mxu_ntt.build_tables(n, moduli)
         fn = jax.jit(lambda a: mxu_ntt.ntt_fwd(a, tabs2))
         dt = _time_fn(fn, (x,), iters=2 if quick else 5)
-    return {"ntt_per_s": batch * limbs / dt, "dt": dt}
+        return {"ntt_per_s": batch * limbs / dt, "dt": dt,
+                "method": "mxu-fallback"}
 
 
 def bench_ntt_u64(quick: bool) -> dict:
@@ -118,7 +142,7 @@ def bench_ct_mult(quick: bool) -> dict:
         pad = [(0, 0)] * (o0.ndim - 2) + [(0, num_q - o0.shape[-2]), (0, 0)]
         return rq.add(c0, jnp.pad(o0, pad)), rq.add(c1, jnp.pad(o1, pad))
 
-    dt = _time_chained(one, (c0, c1), iters=3 if quick else 10)
+    dt = _time_chained(one, (c0, c1), iters=10 if quick else 100)
     return {"ct_mult_per_s": 1.0 / dt, "dt": dt, "logn": logn,
             "num_q": num_q, "num_p": num_p}
 
@@ -167,11 +191,13 @@ def main() -> None:
         "unit": "NTT/s/chip",
         "vs_baseline": round(ntt["ntt_per_s"] / target, 4),
         # timing method for apples-to-apples round comparisons (ADVICE r2):
-        # "chained" = fori_loop of dependent kernels inside one jit (steady-
-        # state kernel time, no per-dispatch tunnel overhead; rounds >= 2),
-        # vs round 1's "per-dispatch" numbers.
-        "timing": "chained",
+        # r1 = "per-dispatch", r2 = "chained" (fori_loop of kernel launches),
+        # r3+ = "fused-chain" (k transforms in ONE kernel, VMEM-resident;
+        # ntt_per_s_dispatch is the r2-comparable launch-per-transform rate).
+        "timing": ntt.get("method", "chained"),
     }
+    if "ntt_per_s_dispatch" in ntt:
+        result["ntt_per_s_dispatch"] = round(ntt["ntt_per_s_dispatch"], 1)
     if ct is not None:
         result["ct_mult_relin_rescale_per_s"] = round(ct["ct_mult_per_s"], 2)
     if ntt64 is not None:

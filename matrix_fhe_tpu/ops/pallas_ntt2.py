@@ -345,3 +345,88 @@ def ntt_fwd(x: jnp.ndarray, tabs: NTT2Tables, ptile: int = 8,
 def ntt_bwd(x: jnp.ndarray, tabs: NTT2Tables, ptile: int = 8,
             interpret: bool = False) -> jnp.ndarray:
     return _transform(x, tabs, fwd=False, ptile=ptile, interpret=interpret)
+
+
+@functools.partial(jax.jit, static_argnames=("k", "fwd", "interpret"))
+def ntt_chain(x: jnp.ndarray, tabs: NTT2Tables, k: int, fwd: bool = True,
+              interpret: bool = False) -> jnp.ndarray:
+    """Apply the transform ``k`` times inside ONE kernel launch.
+
+    The whole [B, L, N] batch lives in a persistent VMEM scratch across the
+    k grid steps: step 0 reads HBM, the last step writes back, every step
+    transforms the scratch in place.  This is the sustained fused-pipeline
+    form (FHE composites chain NTT stages on VMEM-resident data, e.g. the
+    INTT->digit-lift->NTT inside a gadget product) and it sidesteps the
+    per-launch runtime overhead that dominates short launches.  Bit-exact
+    to ``k`` sequential ``ntt_fwd``/``ntt_bwd`` calls (tests/test_pallas_ntt2).
+
+    VMEM holds in + out + scratch = 3*B*L*N*4 bytes plus tables, so keep
+    B*L*N*4 under ~25 MB (e.g. B=24, L=10, N=2^14).
+    """
+    B, L, N = x.shape
+    R, C = tabs.rows, tabs.cols
+    ptile = B
+
+    if fwd:
+        a2, b2, t_i, t_f = tabs.a2, tabs.b2, tabs.tw_i, tabs.tw_f
+    else:
+        a2, b2, t_i, t_f = tabs.a2i, tabs.b2i, tabs.twi_i, tabs.twi_f
+
+    def kernel(scal_ref, x_ref, a2_ref, b2_ref, twi_ref, twf_ref, out_ref,
+               scratch):
+        step = pl.program_id(0)
+
+        def transform(src_fn):
+            for l in range(L):
+                qf = scal_ref[l, 0]
+                qinv = scal_ref[l, 1]
+                qi = qf.astype(jnp.int32)
+                x2 = src_fn(l)
+                v = jnp.where(x2 > qi >> 1, x2 - qi, x2)
+                if fwd:
+                    xt = _transpose_tiles(v.reshape(ptile * R, C), ptile, R, C)
+                    y = _mm_reduce(_digits3(xt, R), a2_ref[l], qinv, qi)
+                    w = _shoup_mul(y, twi_ref[l], twf_ref[l], qinv, qi, ptile)
+                    w2 = _transpose_tiles(w, ptile, C, R)
+                    out = _mm_reduce(_digits3(w2, C), b2_ref[l], qinv, qi)
+                    scratch[:, l, :] = _canon(out, qi).reshape(ptile, N)
+                else:
+                    x2r = v.reshape(ptile * R, C)
+                    u = _mm_reduce(_digits3(x2r, C), b2_ref[l], qinv, qi)
+                    w = _shoup_mul(u, twi_ref[l], twf_ref[l], qinv, qi, ptile)
+                    wt = _transpose_tiles(w, ptile, R, C)
+                    out = _mm_reduce(_digits3(wt, R), a2_ref[l], qinv, qi)
+                    o3 = _canon(out, qi).reshape(ptile, C, R)
+                    scratch[:, l, :] = jnp.swapaxes(o3, 1, 2).reshape(ptile, N)
+
+        @pl.when(step == 0)
+        def _():
+            transform(lambda l: x_ref[:, l, :])
+
+        @pl.when(step > 0)
+        def _():
+            transform(lambda l: scratch[:, l, :])
+
+        @pl.when(step == k - 1)
+        def _():
+            out_ref[:] = scratch[:]
+
+    spec = pl.BlockSpec((B, L, N), lambda s: (0, 0, 0),
+                        memory_space=pltpu.VMEM)
+    full = lambda t: pl.BlockSpec(t.shape, lambda s: (0,) * t.ndim,
+                                  memory_space=pltpu.VMEM)
+    with jax.enable_x64(False):
+        return pl.pallas_call(
+            kernel, grid=(k,),
+            interpret=interpret,
+            in_specs=[
+                pl.BlockSpec(memory_space=pltpu.SMEM),
+                spec, full(a2), full(b2), full(t_i), full(t_f),
+            ],
+            out_specs=spec,
+            out_shape=jax.ShapeDtypeStruct((B, L, N), jnp.int32),
+            scratch_shapes=[pltpu.VMEM((B, L, N), jnp.int32)],
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=("arbitrary",),
+                vmem_limit_bytes=120 * 1024 * 1024),
+        )(tabs.scal, x.astype(jnp.int32), a2, b2, t_i, t_f).astype(x.dtype)

@@ -89,3 +89,22 @@ def test_v2_kernel_bit_exact_tpu():
                                   np.asarray(want))
     rt = pallas_ntt2.ntt_bwd(got, tabs)
     np.testing.assert_array_equal(np.asarray(rt), np.asarray(x))
+
+
+@pytest.mark.skipif(not os.environ.get("MATRIX_FHE_TEST_TPU"),
+                    reason="Mosaic kernel needs real TPU hardware")
+def test_v2_chain_bit_exact_tpu():
+    # k transforms inside one kernel == k sequential launches, fwd and bwd
+    n, limbs, batch, k = 1 << 14, 3, 8, 3
+    moduli = pallas_ntt2.find_v2_primes(n, limbs)
+    tabs = pallas_ntt2.build_tables(n, moduli)
+    rng = np.random.default_rng(3)
+    x = jnp.asarray(rng.integers(0, min(moduli), (batch, limbs, n),
+                                 dtype=np.int64).astype(np.int32))
+    want = x
+    for _ in range(k):
+        want = pallas_ntt2.ntt_fwd(want, tabs)
+    got = pallas_ntt2.ntt_chain(x, tabs, k, fwd=True)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+    back = pallas_ntt2.ntt_chain(got, tabs, k, fwd=False)
+    np.testing.assert_array_equal(np.asarray(back), np.asarray(x))
