@@ -76,7 +76,7 @@ def div_round_by_last_modulus_many_ntt(ring: FastRing, p: jnp.ndarray,
 
 @functools.partial(
     jax.tree_util.register_dataclass,
-    data_fields=["qoverqi_inv_qi", "qoverqi_mod_p", "vtimesq_mod_p",
+    data_fields=["qoverqi_inv_qi", "qoverqi_mod_p", "negq_mod_p",
                  "qhalf_mod_qi", "qhalf_mod_p", "src_q_f64"],
     meta_fields=[],
 )
@@ -84,7 +84,7 @@ def div_round_by_last_modulus_many_ntt(ring: FastRing, p: jnp.ndarray,
 class FastModUpConstants:
     qoverqi_inv_qi: jnp.ndarray  # int32 [LQ]     (Q/qi)^-1 mod qi (plain)
     qoverqi_mod_p: jnp.ndarray   # int32 [LP, LQ] Q/qi mod pj (plain)
-    vtimesq_mod_p: jnp.ndarray   # int32 [LP, LQ+1] (-v*Q) mod pj
+    negq_mod_p: jnp.ndarray      # int32 [LP]     (-Q) mod pj
     qhalf_mod_qi: jnp.ndarray    # int32 [LQ]     (Q>>1) mod qi
     qhalf_mod_p: jnp.ndarray     # int32 [LP]     (Q>>1) mod pj
     src_q_f64: jnp.ndarray       # f64 [LQ]       qi (v correction divides,
@@ -99,20 +99,16 @@ def gen_fast_modup_constants(Q: list[int], P: list[int]) -> FastModUpConstants:
     qhalf = big_q >> 1
     inv = np.zeros(LQ, dtype=np.int32)
     mod_p = np.zeros((LP, LQ), dtype=np.int32)
-    vq = np.zeros((LP, LQ + 1), dtype=np.int32)
     for i, qi in enumerate(Q):
         qstar = big_q // qi
         inv[i] = pow(qstar % qi, qi - 2, qi)
         for j, pj in enumerate(P):
             mod_p[j, i] = qstar % pj
-    for j, pj in enumerate(P):
-        v = (pj - big_q % pj) % pj
-        for k in range(1, LQ + 1):
-            vq[j, k] = (vq[j, k - 1] + v) % pj
     return FastModUpConstants(
         qoverqi_inv_qi=jnp.asarray(inv),
         qoverqi_mod_p=jnp.asarray(mod_p),
-        vtimesq_mod_p=jnp.asarray(vq),
+        negq_mod_p=jnp.asarray(np.array(
+            [(p - big_q % p) % p for p in P], dtype=np.int32)),
         qhalf_mod_qi=jnp.asarray(np.array([qhalf % q for q in Q],
                                           dtype=np.int32)),
         qhalf_mod_p=jnp.asarray(np.array([qhalf % p for p in P],
@@ -152,7 +148,11 @@ def mod_up(x: jnp.ndarray, muc: FastModUpConstants, src: FastRing,
             y[..., i:i + 1, :], c, dq, dqinv)
     acc = reduce_once(acc, dq, dqinv)
     out = canon(acc, dq)
-    vt = jnp.moveaxis(muc.vtimesq_mod_p[:, v], 0, -2)  # [.., LP, N]
+    # correction term (v * (-Q)) mod p, elementwise (no gather): v <= LQ < 64
+    # and (-Q mod p) < 2^23, so the product fits int32 exactly and one
+    # reduce_once + canon restores [0, p)
+    vt = v[..., None, :] * muc.negq_mod_p[:, None]      # [.., LP, N]
+    vt = canon(reduce_once(vt, dq, dqinv), dq)
     out = out + vt
     out = jnp.where(out >= dq, out - dq, out)
     if centered:
