@@ -63,7 +63,7 @@ def bench_ntt(quick: bool) -> dict:
 
     logn, limbs = 14, 10
     batch = 8 if quick else 24
-    k = 50 if quick else 500
+    k = 200 if quick else 500
     n = 1 << logn
     moduli = pallas_ntt2.find_v2_primes(n, limbs)
     tabs = pallas_ntt2.build_tables(n, moduli)
@@ -147,6 +147,30 @@ def bench_ct_mult(quick: bool) -> dict:
             "num_q": num_q, "num_p": num_p}
 
 
+def bench_rotate(quick: bool) -> dict:
+    """Hoisted rotations on the int32 fast path: one decomposition, R
+    MAC+ModDown+permute key-switches (RotateHoisted,
+    core/rlwe/evaluator_automorphism.go:62)."""
+    from matrix_fhe_tpu.fast import fckks
+
+    logn = 12 if quick else 14
+    num_q, num_p = (9, 2) if quick else (19, 3)
+    R = 4 if quick else 8
+    ctx, (c0, c1, _, _) = fckks.make_synthetic_context(
+        logn, num_q, num_p, num_rot=R)
+    gal_els = ctx.gal_els
+
+    def one(carry):
+        a0, a1 = carry
+        outs = fckks.rotations_hoisted(ctx, a0, a1, gal_els)
+        r0, r1 = outs[gal_els[0]]
+        return ctx.ring_q.add(a0, r0), ctx.ring_q.add(a1, r1)
+
+    dt = _time_chained(one, (c0, c1), iters=10 if quick else 50, reps=2)
+    return {"rot_hoisted_per_s": R / dt, "dt": dt, "rotations": R,
+            "logn": logn}
+
+
 def bench_ct_mult_u64(quick: bool) -> dict:
     """Reference-parity u64 evaluator path (secondary metric)."""
     from matrix_fhe_tpu.flagship import build_flagship, make_step
@@ -178,6 +202,12 @@ def main() -> None:
         print(f"ct_mult bench failed: {e}", file=sys.stderr)
         ct = None
     try:
+        rot = bench_rotate(quick)
+        print(f"rotate (fast int32, hoisted): {rot}", file=sys.stderr)
+    except Exception as e:  # pragma: no cover
+        print(f"rotate bench failed: {e}", file=sys.stderr)
+        rot = None
+    try:
         ct64 = bench_ct_mult_u64(quick)
         print(f"ct_mult (u64 45-bit): {ct64}", file=sys.stderr)
     except Exception as e:  # pragma: no cover
@@ -200,6 +230,8 @@ def main() -> None:
         result["ntt_per_s_dispatch"] = round(ntt["ntt_per_s_dispatch"], 1)
     if ct is not None:
         result["ct_mult_relin_rescale_per_s"] = round(ct["ct_mult_per_s"], 2)
+    if rot is not None:
+        result["rot_hoisted_per_s"] = round(rot["rot_hoisted_per_s"], 2)
     if ntt64 is not None:
         result["u64_ntt_per_s"] = round(ntt64["ntt_per_s"], 1)
     print(json.dumps(result))

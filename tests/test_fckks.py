@@ -88,3 +88,51 @@ def test_jit_compiles(setup):
                                 _i32(ct2.value[0]), _i32(ct2.value[1]))
     np.testing.assert_array_equal(np.asarray(a[0]), np.asarray(b[0]))
     np.testing.assert_array_equal(np.asarray(a[1]), np.asarray(b[1]))
+
+
+@pytest.fixture(scope="module")
+def rot_setup(setup):
+    params, sk, rlk, ev, enc, ct1, ct2, v1, v2, ctx = setup
+    kg = jax.random.key(7)
+    gal_els = [params.galois_element(1), params.galois_element(3)]
+    gks = K.gen_galois_keys(kg, params, sk, gal_els)
+    ev2 = ckks.Evaluator(params, rlk=rlk, galois_keys=gks)
+    fctx = fckks.make_context(params, rlk, gks=gks, rescale_limbs=2)
+    return params, sk, ev2, enc, ct1, v1, fctx, gal_els
+
+
+def test_automorphism_matches_u64(rot_setup):
+    params, sk, ev2, enc, ct1, v1, fctx, gal_els = rot_setup
+    for g in gal_els:
+        got0, got1 = fckks.automorphism(
+            fctx, _i32(ct1.value[0]), _i32(ct1.value[1]), g)
+        want = ev2._automorphism(ct1, g)
+        np.testing.assert_array_equal(np.asarray(got0).astype(np.uint64),
+                                      np.asarray(want.value[0]))
+        np.testing.assert_array_equal(np.asarray(got1).astype(np.uint64),
+                                      np.asarray(want.value[1]))
+
+
+def test_rotations_hoisted_match_single(rot_setup):
+    params, sk, ev2, enc, ct1, v1, fctx, gal_els = rot_setup
+    outs = fckks.rotations_hoisted(
+        fctx, _i32(ct1.value[0]), _i32(ct1.value[1]), gal_els)
+    for g in gal_els:
+        want0, want1 = fckks.automorphism(
+            fctx, _i32(ct1.value[0]), _i32(ct1.value[1]), g)
+        np.testing.assert_array_equal(np.asarray(outs[g][0]),
+                                      np.asarray(want0))
+        np.testing.assert_array_equal(np.asarray(outs[g][1]),
+                                      np.asarray(want1))
+
+
+def test_rotation_decrypts_to_rotated(rot_setup):
+    params, sk, ev2, enc, ct1, v1, fctx, gal_els = rot_setup
+    from matrix_fhe_tpu.rlwe import decryptor as D
+    g = gal_els[0]  # rotation by 1 slot
+    got0, got1 = fckks.automorphism(
+        fctx, _i32(ct1.value[0]), _i32(ct1.value[1]), g)
+    out = ct1.with_value((jnp.asarray(np.asarray(got0).astype(np.uint64)),
+                          jnp.asarray(np.asarray(got1).astype(np.uint64))))
+    dec = enc.decode(D.decrypt(params, sk, out))[: params.max_slots]
+    np.testing.assert_allclose(dec.real, np.roll(v1, -1), atol=2e-3)
