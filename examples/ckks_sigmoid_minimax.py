@@ -55,6 +55,11 @@ def main():
     v = rng.uniform(-K_INTERVAL, K_INTERVAL, params.max_slots)
     ct = encryptor.encrypt(ke, params, sk, enc.encode(v + 0j))
 
+    # change of basis x -> (2x - a - b) / (b - a) into [-1, 1]
+    scalar, constant = poly.change_of_basis()
+    ct = ev.add_const(ct, float(constant) / float(scalar))
+    ct = ev.rescale(ev.mul_const(ct, float(scalar)))
+
     out = poly_circ.evaluate(ev, enc, ct, poly, params.default_scale)
     got = np.real(enc.decode(decryptor.decrypt(params, sk, out)))
     want = 1 / (np.exp(-v) + 1)

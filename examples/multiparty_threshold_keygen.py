@@ -62,7 +62,7 @@ def main():
     agg = None
     for j, p in enumerate(actives):
         share = mp.PublicKeyGen.gen_share(
-            jax.random.key(200 + j), params, K.SecretKey(value=tsk[p]), crp)
+            jax.random.key(200 + j), params, tsk[p], crp)
         agg = share if agg is None else mp.PublicKeyGen.aggregate(params, agg, share)
     cpk = mp.PublicKeyGen.finalize(params, agg, crp)
 
@@ -76,7 +76,7 @@ def main():
     sk_rx = K.gen_secret_key(jax.random.key(9), params)
     zero = K.SecretKey(value=K.QPPoly(q=sk_rx.value.q * 0, p=sk_rx.value.p * 0))
     shares = [mp.KeySwitch.gen_share(jax.random.key(300 + j), params,
-                                     K.SecretKey(value=tsk[p]), zero, ct)
+                                     tsk[p], zero, ct)
               for j, p in enumerate(actives)]
     shares.append(mp.KeySwitch.gen_share(jax.random.key(400), params, zero,
                                          sk_rx, ct))
