@@ -10,6 +10,7 @@ boundaries.
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 
 from matrix_fhe_tpu.ops import automorphism as am
@@ -32,8 +33,10 @@ def decompose_ntt(params: Parameters, level: int, cx: jnp.ndarray,
         cx_ntt, cx_inv = rq.ntt(cx), cx
     dec = params.decomposer(level)
     digits = params.base_rns_decomposition_vector_size(level)
-    return [rt.decompose_single_ntt(dec, i, cx_ntt, cx_inv, rq, rp)
-            for i in range(digits)]
+    fn = _pjit("decompose_ntt", params, level, lambda: (
+        lambda a, b: [rt.decompose_single_ntt(dec, i, a, b, rq, rp)
+                      for i in range(digits)]))
+    return fn(cx_ntt, cx_inv)
 
 
 def gadget_product_hoisted_lazy(params: Parameters, level: int,
@@ -86,17 +89,42 @@ def gadget_product_hoisted(params: Parameters, level: int,
     """<decomp(cx), gadget> over Q after ModDown by P
     (gadgetProductMultiplePLazy + ModDown, evaluator_gadget_product.go:16-60).
     Returns (d0, d1) in the NTT domain over Q at ``level``."""
-    acc = gadget_product_hoisted_lazy(params, level, digits, gadget)
-    if params.ring_p is None:
-        return acc[0], acc[1]
-    return (mod_down_qp(params, level, acc[0], acc[2]),
-            mod_down_qp(params, level, acc[1], acc[3]))
+    def _gph_impl(digits_, gadget_):
+        acc = gadget_product_hoisted_lazy(params, level, digits_, gadget_)
+        if params.ring_p is None:
+            return acc[0], acc[1]
+        return (mod_down_qp(params, level, acc[0], acc[2]),
+                mod_down_qp(params, level, acc[1], acc[3]))
+
+    fn = _pjit("gadget_product_hoisted", params, level, lambda: _gph_impl)
+    return fn(digits, gadget)
+
+
+# Per-(params, level) compiled key-switch kernels: relin, rotations and
+# evk application all funnel through gadget_product with recurring shapes,
+# so caching one XLA executable per (params fingerprint, level, flavor)
+# replaces thousands of tiny eager dispatches (the dominant cost of
+# bootstrapping / lintrans on host backends).  params is closed over.
+_JIT_CACHE: dict = {}
+
+
+def _pjit(name: str, params: Parameters, level: int, make):
+    ck = (name, params.n, tuple(params.q), tuple(params.p or ()),
+          params.ring_type, level)
+    fn = _JIT_CACHE.get(ck)
+    if fn is None:
+        fn = jax.jit(make())
+        _JIT_CACHE[ck] = fn
+    return fn
 
 
 def gadget_product(params: Parameters, level: int, cx: jnp.ndarray,
                    gadget: GadgetCiphertext) -> tuple[jnp.ndarray, jnp.ndarray]:
     """GadgetProduct (evaluator_gadget_product.go:16-30), NTT-domain cx."""
-    return gadget_product_hoisted(params, level, decompose_ntt(params, level, cx), gadget)
+    fn = _pjit("gadget_product", params, level, lambda: (
+        lambda cx_, g: gadget_product_hoisted(
+            params, level, decompose_ntt(params, level, cx_), g)))
+    return fn(cx, gadget)
 
 
 def apply_evaluation_key(params: Parameters, ct: Ciphertext, evk) -> Ciphertext:

@@ -174,13 +174,9 @@ def _add_poly_times_gadget(params: Parameters, pt_q: jnp.ndarray,
     return jnp.stack(rows)
 
 
-def gen_evaluation_key(key: jax.Array, params: Parameters, sk_in_q: jnp.ndarray,
-                       sk_out: SecretKey) -> EvaluationKey:
-    """genEvaluationKey (keygenerator.go:276-316): gadget rows are zero
-    encryptions under sk_out plus P * skIn * digit-selectors.
-
-    sk_in_q: [LQ, N] the input key mod Q, NTT + Montgomery form.
-    """
+def _gen_evaluation_key_arrays(key: jax.Array, params: Parameters,
+                               sk_in_q: jnp.ndarray, sk_out: SecretKey):
+    """Traced body of genEvaluationKey: returns the gadget arrays (gq, gp)."""
     alpha = max(len(params.p), 1)
     digits = -(-len(params.q) // alpha)
     rows_q, rows_p = [], []
@@ -193,6 +189,42 @@ def gen_evaluation_key(key: jax.Array, params: Parameters, sk_in_q: jnp.ndarray,
     gq = jnp.stack(rows_q)  # [digits, 2, LQ, N]
     gq = _add_poly_times_gadget(params, sk_in_q, gq)
     gp = jnp.stack(rows_p) if rows_p else None
+    return gq, gp
+
+
+# One compiled kernel per parameter set: every relin/galois/evk generation
+# shares the same shapes, so eager per-op dispatch (the dominant cost of
+# generating dozens of bootstrapping galois keys) collapses into one cached
+# XLA executable.  Keyed by the parameter fingerprint, params closed over.
+_EVK_JIT_CACHE: dict = {}
+
+
+def gen_evaluation_key(key: jax.Array, params: Parameters, sk_in_q: jnp.ndarray,
+                       sk_out: SecretKey) -> EvaluationKey:
+    """genEvaluationKey (keygenerator.go:276-316): gadget rows are zero
+    encryptions under sk_out plus P * skIn * digit-selectors.
+
+    sk_in_q: [LQ, N] the input key mod Q, NTT + Montgomery form.
+    """
+    has_p = params.ring_p is not None
+    ck = (params.n, tuple(params.q), tuple(params.p or ()), params.ring_type)
+    fn = _EVK_JIT_CACHE.get(ck)
+    if fn is None:
+        if has_p:
+            def fn(k, s_in, so_q, so_p):
+                return _gen_evaluation_key_arrays(
+                    k, params, s_in, SecretKey(value=QPPoly(q=so_q, p=so_p)))
+        else:
+            def fn(k, s_in, so_q):
+                return _gen_evaluation_key_arrays(
+                    k, params, s_in,
+                    SecretKey(value=QPPoly(q=so_q, p=None)))[0]
+        fn = jax.jit(fn)
+        _EVK_JIT_CACHE[ck] = fn
+    if has_p:
+        gq, gp = fn(key, sk_in_q, sk_out.value.q, sk_out.value.p)
+    else:
+        gq, gp = fn(key, sk_in_q, sk_out.value.q), None
     return EvaluationKey(gadget=GadgetCiphertext(q=gq, p=gp))
 
 
