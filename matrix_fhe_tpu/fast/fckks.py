@@ -58,6 +58,32 @@ class FastCKKSContext:
         g = self.gal_els.index(gal_el)
         return self.gk_q[g], self.gk_p[g]
 
+    @property
+    def level(self) -> int:
+        return self.ring_q.level
+
+    def at_level(self, level: int) -> "FastCKKSContext":
+        """Level view: rings/decomposer/ModDown constants over Q[:level+1],
+        keys sliced to the live digits and limbs (mirrors the u64 path's
+        Ring.at_level + per-level decomposer, ring/ring.go:194)."""
+        if level == self.level:
+            return self
+        Q = list(self.ring_q.moduli_tuple[: level + 1])
+        P = list(self.ring_p.moduli_tuple)
+        dec = frns.gen_fast_decomposer(Q, P)
+        D = dec.num_digits
+        return dataclasses.replace(
+            self,
+            ring_q=self.ring_q.at_level(level),
+            dec=dec,
+            mdc=frns.gen_fast_moddown_constants(Q, P),
+            rlk_q=self.rlk_q[:D, :, : level + 1, :],
+            rlk_p=self.rlk_p[:D],
+            gk_q=None if self.gk_q is None
+            else self.gk_q[:, :D, :, : level + 1, :],
+            gk_p=None if self.gk_p is None else self.gk_p[:, :D],
+        )
+
 
 def _convert_gadget(params, gadget) -> tuple[np.ndarray, np.ndarray]:
     """u64 gadget ciphertext (Montgomery/NTT) -> plain-domain int32 stacks."""

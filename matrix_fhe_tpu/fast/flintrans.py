@@ -111,10 +111,13 @@ def matvec_bsgs(ctx: FastCKKSContext, flt: FastLinearTransformation,
     c1_p = rq.mul_coeffs_montgomery(c1, jnp.broadcast_to(p_sc, c1.shape))
 
     out = [None, None, None, None]  # out0q, out1q, out0p, out1p
+    lq = rq.num_limbs
     for j in sorted(index.keys()):
         t0q = t1q = t0p = t1p = None
         for i in index[j]:
             ptq, ptp = flt.vec[j + i]
+            ptq = ptq[..., :lq, :]  # pts are encoded at their top level and
+            #                         sliced to the live limbs (_slice_pt)
             if i == 0:
                 t0q = _mul_acc(rq, ptq, c0_p, t0q)
                 t1q = _mul_acc(rq, ptq, c1_p, t1q)
