@@ -1,12 +1,35 @@
-"""Examples smoke tests (the reference's main_test.go pattern)."""
+"""Examples smoke tests (the reference's main_test.go pattern).
 
-import runpy
+Each example runs in its own subprocess: it isolates the suite from an
+XLA-CPU compiler crash that manifests only late in a long-lived process
+(hundreds of prior compilations), and mirrors how a user invokes the
+example scripts.  The child forces the CPU backend the same way
+tests/conftest.py does (the environment's sitecustomize overrides
+JAX_PLATFORMS at interpreter start, so the config must be re-forced
+after importing jax).
+"""
+
+import os
+import subprocess
+import sys
 
 import pytest
 
+_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
 
 def _run(name: str):
-    runpy.run_path(f"examples/{name}.py", run_name="__main__")
+    code = (
+        "import jax; jax.config.update('jax_platforms', 'cpu'); "
+        "import runpy; "
+        f"runpy.run_path('examples/{name}.py', run_name='__main__')"
+    )
+    r = subprocess.run([sys.executable, "-c", code], cwd=_ROOT,
+                       capture_output=True, text=True, timeout=1200)
+    assert r.returncode == 0, (
+        f"example {name} failed (rc={r.returncode})\n"
+        f"--- stdout ---\n{r.stdout[-2000:]}\n"
+        f"--- stderr ---\n{r.stderr[-2000:]}")
 
 
 def test_ckks_tutorial():
