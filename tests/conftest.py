@@ -10,6 +10,12 @@ not enough — we re-force the config after importing jax.  Set
 
 import os
 
+if not os.environ.get("MATRIX_FHE_TEST_TPU"):
+    # Strip the remote-TPU plugin registration before xdist workers spawn:
+    # CPU test processes do not need it, and its presence in a long-lived
+    # process is implicated in late-process XLA crashes.
+    os.environ.pop("PALLAS_AXON_POOL_IPS", None)
+
 flags = os.environ.get("XLA_FLAGS", "")
 if "host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
