@@ -68,6 +68,10 @@ class FastCKKSContext:
         Ring.at_level + per-level decomposer, ring/ring.go:194)."""
         if level == self.level:
             return self
+        if level > self.level:
+            raise ValueError(
+                f"at_level({level}) above the built level {self.level} "
+                f"(slices would silently clamp — ADVICE r3)")
         Q = list(self.ring_q.moduli_tuple[: level + 1])
         P = list(self.ring_p.moduli_tuple)
         dec = frns.gen_fast_decomposer(Q, P)

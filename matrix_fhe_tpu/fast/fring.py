@@ -147,6 +147,9 @@ class FastRing:
     def at_level(self, level: int) -> "FastRing":
         if level == self.level:
             return self
+        if level > self.level:
+            raise ValueError(
+                f"at_level({level}) above the built level {self.level}")
         s = slice(0, level + 1)
         return dataclasses.replace(
             self,

@@ -34,3 +34,16 @@ assert os.environ.get("MATRIX_FHE_TEST_TPU") or jax.devices()[0].platform == "cp
 
 def pytest_configure(config):
     config.addinivalue_line("markers", "slow: long-running end-to-end tests")
+
+
+def pytest_collection_modifyitems(config, items):
+    """Skip ``slow``-marked tests unless MATRIX_FHE_RUN_SLOW=1: the default
+    suite must stay under ~10 minutes (VERDICT r3 weak #6); the heavy
+    end-to-end runs are still exercised by setting the env var."""
+    import pytest as _pytest
+    if os.environ.get("MATRIX_FHE_RUN_SLOW"):
+        return
+    skip = _pytest.mark.skip(reason="slow test (set MATRIX_FHE_RUN_SLOW=1)")
+    for item in items:
+        if "slow" in item.keywords:
+            item.add_marker(skip)

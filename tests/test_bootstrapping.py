@@ -72,6 +72,7 @@ def test_bootstrap_consumed_then_reuse(ctx):
     ckks.precision.assert_precision(v * v, got, 8)
 
 
+@pytest.mark.slow
 def test_bootstrap_many_pairs(ctx):
     """BootstrapMany (evaluator.go:263-344): two real-payload cts packed as
     one complex ct through a single pipeline run."""
@@ -94,6 +95,7 @@ def test_bootstrap_many_pairs(ctx):
         ckks.precision.assert_precision(v, got, 9)
 
 
+@pytest.mark.slow
 def test_meta_bts_iterations(ctx):
     """META-BTS (evaluator.go:345-493): a second iteration must beat the
     single-shot bootstrap precision."""
@@ -146,6 +148,7 @@ def test_default_parameter_presets():
     assert p.residual_level == len(btp.N12_TEST.residual_log_q) - 1
 
 
+@pytest.mark.slow
 def test_bootstrap_sparse_secret_encapsulation():
     """Sparse-secret encapsulation (keys.go EvkDenseToSparse/SparseToDense):
     the ModUp raise runs under an ephemeral Hamming-weight-h key."""

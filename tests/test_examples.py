@@ -32,6 +32,7 @@ def _run(name: str):
         f"--- stderr ---\n{r.stderr[-2000:]}")
 
 
+@pytest.mark.slow
 def test_ckks_tutorial():
     _run("ckks_tutorial")
 
@@ -40,44 +41,54 @@ def test_ckks_template():
     _run("ckks_template")
 
 
+@pytest.mark.slow
 def test_bgv_template():
     _run("bgv_template")
 
 
+@pytest.mark.slow
 def test_bgv_vectorized_ole():
     _run("bgv_vectorized_ole")
 
 
+@pytest.mark.slow
 def test_bgv_ride_hailing():
     _run("bgv_ride_hailing")
 
 
+@pytest.mark.slow
 def test_ckks_scheme_switching():
     _run("ckks_scheme_switching")
 
 
+@pytest.mark.slow
 def test_multiparty_pir():
     _run("multiparty_pir")
 
 
+@pytest.mark.slow
 def test_multiparty_threshold_keygen():
     _run("multiparty_threshold_keygen")
 
 
+@pytest.mark.slow
 def test_multiparty_psi():
     _run("multiparty_psi")
 
 
+@pytest.mark.slow
 @pytest.mark.slow
 def test_ckks_sigmoid_chebyshev():
     _run("ckks_sigmoid_chebyshev")
 
 
 @pytest.mark.slow
+@pytest.mark.slow
 def test_ckks_sigmoid_minimax():
     _run("ckks_sigmoid_minimax")
 
 
+@pytest.mark.slow
 @pytest.mark.slow
 def test_rgsw_blind_rotation():
     _run("rgsw_blind_rotation")
