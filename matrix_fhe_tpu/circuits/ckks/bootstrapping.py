@@ -138,11 +138,16 @@ def gen_evaluation_keys(key: jax.Array, p: Parameters,
 class Evaluator:
     """bootstrapping.Evaluator (evaluator.go:100-246 init, :548 bootstrap)."""
 
-    def __init__(self, p: Parameters, evk: EvaluationKeys):
+    def __init__(self, p: Parameters, evk: EvaluationKeys,
+                 ev=None, enc=None):
+        """``ev``/``enc`` override the scheme evaluator/encoder — the int32
+        fast path (fast/fboot.py) injects its FastEvaluator/FastEncoder here
+        and the whole pipeline below runs on int32 arrays unchanged."""
         self.p = p
         params = p.params
-        self.ev = ckks.Evaluator(params, rlk=evk.rlk, galois_keys=evk.gks)
-        self.enc = ckks.Encoder(params)
+        self.ev = ev if ev is not None else ckks.Evaluator(
+            params, rlk=evk.rlk, galois_keys=evk.gks)
+        self.enc = enc if enc is not None else ckks.Encoder(params)
         self.gks = evk.gks
         self.evk_dense_to_sparse = evk.evk_dense_to_sparse
         self.evk_sparse_to_dense = evk.evk_sparse_to_dense
@@ -190,39 +195,15 @@ class Evaluator:
 
     def mod_up(self, ct: Ciphertext) -> Ciphertext:
         """evaluator.go:646-795 ModUp (dense-key path): centered lift
-        q0 -> Q, NTT, message scale-up, Trace (SubSum)."""
-        import jax.numpy as jnp
-        params = self.p.params
-        q0 = params.q[0]
-        rq0 = params.ring_q.at_level(0)
-        rq = params.ring_q
-
-        from matrix_fhe_tpu.ops import modmath as mm
-
-        def centered_lift(coeff):
-            """Signed lift of values mod q0 to every Qi with full Barrett
-            reduction (evaluator.go:683-700: BRedAdd per limb) — unlike the
-            small-norm lift, magnitudes here are up to q0/2 and must be
-            reduced mod the (possibly smaller) destination primes."""
-            neg = coeff >= jnp.uint64(q0 >> 1)
-            mag = jnp.where(neg, jnp.uint64(q0) - coeff, coeff)
-            t = mm.bred_add(mag[None, :], rq.moduli[:, None], rq.bhi[:, None])
-            return jnp.where(neg[None, :],
-                             jnp.where(t == 0, jnp.uint64(0),
-                                       rq.moduli[:, None] - t),
-                             t)
-
-        vals = []
-        for v in ct.value:
-            coeff = rq0.intt(v)[..., 0, :]  # [N] mod q0
-            vals.append(rq.ntt(centered_lift(coeff)))
-        out = ct.with_value(tuple(vals))
+        q0 -> Q, NTT, message scale-up, Trace (SubSum).  The lift/trace are
+        evaluator methods (ev.mod_raise / ev.trace_log_n) so backend-specific
+        evaluators substitute their own kernels."""
+        out = self.ev.mod_raise(ct)
 
         # sparse-secret encapsulation: return to the dense key right after
         # the raise (evaluator.go:745-756 SwitchKeys EvkSparseToDense)
         if self.evk_sparse_to_dense is not None:
-            out = rlwe_eval.apply_evaluation_key(params, out,
-                                                 self.evk_sparse_to_dense)
+            out = self.ev.apply_evaluation_key(out, self.evk_sparse_to_dense)
 
         m1 = self.mod1_params
         scale = (float(m1.scaling_factor) / m1.message_ratio) / float(ct.scale)
@@ -230,7 +211,7 @@ class Evaluator:
             factor = round(scale)
             out = self.ev.scale_up(out, factor)
 
-        return rlwe_eval.trace(params, out, self.p.log_slots, self.gks)
+        return self.ev.trace_log_n(out, self.p.log_slots)
 
     def coeffs_to_slots(self, ct: Ciphertext):
         return dft.coeffs_to_slots(self.p.params, self.ev, ct,
@@ -251,8 +232,7 @@ class Evaluator:
         # encapsulate under the ephemeral sparse key before the raise
         # (evaluator.go:646-660 SwitchKeys EvkDenseToSparse at q0)
         if self.evk_dense_to_sparse is not None:
-            ct = rlwe_eval.apply_evaluation_key(self.p.params, ct,
-                                                self.evk_dense_to_sparse)
+            ct = self.ev.apply_evaluation_key(ct, self.evk_dense_to_sparse)
         ct = self.mod_up(ct)
         ct_real, ct_imag = self.coeffs_to_slots(ct)
         ct_real = self.eval_mod(ct_real)

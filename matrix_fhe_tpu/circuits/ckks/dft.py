@@ -271,10 +271,12 @@ def galois_elements(params, lit: MatrixLiteral) -> list[int]:
 
 def _dft(params, ev, ct: Ciphertext, matrices: list[lt.LinearTransformation],
          gks) -> Ciphertext:
-    """EvaluateSequential with rescale after each factor (dft.go:345-363)."""
+    """EvaluateSequential with rescale after each factor (dft.go:345-363).
+    Routed through ``ev.evaluate_lintrans`` so backend-specific evaluators
+    (the int32 fast path) substitute their own BSGS matvec."""
     out = ct
     for m in matrices:
-        out = lt.evaluate(params, out, m, gks)
+        out = ev.evaluate_lintrans(out, m, gks)
         out = ev.rescale(out)
     return out
 

@@ -351,16 +351,14 @@ def _evaluate_ps(ev, enc, ps_list: list, pb: PowerBasis,
 
     out = baby[0][1]
     if out.degree == 2:
-        from matrix_fhe_tpu.rlwe import evaluator as rlwe_eval
-        out = rlwe_eval.relinearize(ev.params, out, ev.rlk)
+        out = ev.relinearize(out)
     return ev.rescale(out)
 
 
 def _eval_monomial(ev, a: Ciphertext, b: Ciphertext, xpow: Ciphertext) -> Ciphertext:
     """a + b * X^{pow} (EvaluateMonomial :233-257)."""
     if b.degree == 2:
-        from matrix_fhe_tpu.rlwe import evaluator as rlwe_eval
-        b = rlwe_eval.relinearize(ev.params, b, ev.rlk)
+        b = ev.relinearize(b)
     b = ev.rescale(b)
     b = ev.mul(b, xpow)
     return ev.add(b, a)
@@ -381,7 +379,7 @@ def _evaluate_baby(ev, enc, subs: list, pb: PowerBasis,
     x1 = pb.value[1]
 
     zero = jnp.zeros(x1.value[0].shape[:-2] + (target_level + 1, params.n),
-                     dtype=jnp.uint64)
+                     dtype=x1.value[0].dtype)
     res = Ciphertext(value=(zero, zero),
                      metadata=x1.metadata).with_metadata(scale=target_scale)
 

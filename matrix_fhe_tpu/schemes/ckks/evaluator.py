@@ -141,10 +141,57 @@ class Evaluator:
         ct = Ciphertext(value=(c0, c1, c2),
                         metadata=a.metadata).with_metadata(scale=scale)
         if relin:
-            if self.rlk is None:
-                raise ValueError("no relinearization key")
-            ct = rlwe_eval.relinearize(self.params, ct, self.rlk)
+            ct = self.relinearize(ct)
         return ct
+
+    # -- key-switching indirection ------------------------------------------
+    # Circuits (polynomial, mod1, dft, bootstrapping) call these methods so a
+    # drop-in evaluator over a different numeric backend (fast/feval.py int32
+    # path) only overrides them, not the circuit code.
+
+    def relinearize(self, ct: Ciphertext) -> Ciphertext:
+        if self.rlk is None:
+            raise ValueError("no relinearization key")
+        return rlwe_eval.relinearize(self.params, ct, self.rlk)
+
+    def apply_evaluation_key(self, ct: Ciphertext, evk) -> Ciphertext:
+        return rlwe_eval.apply_evaluation_key(self.params, ct, evk)
+
+    def evaluate_lintrans(self, ct: Ciphertext, lt_obj, gks=None) -> Ciphertext:
+        """One diagonal-form linear transformation (BSGS double-hoisted)."""
+        from matrix_fhe_tpu.circuits import lintrans as lt
+        return lt.evaluate(self.params, ct, lt_obj,
+                           self.gks if gks is None else gks)
+
+    def trace_log_n(self, ct: Ciphertext, log_n: int) -> Ciphertext:
+        """rlwe trace with an explicit subring degree (inner_sum.go:36)."""
+        return rlwe_eval.trace(self.params, ct, log_n, self.gks)
+
+    def mod_raise(self, ct: Ciphertext) -> Ciphertext:
+        """Bootstrap ModUp raise (bootstrapping/evaluator.go:683-700): the
+        level-0 ciphertext's coefficients are lifted centered from q0 to the
+        full chain Q with full Barrett reduction per destination limb
+        (magnitudes up to q0/2 can exceed the smaller destination primes)."""
+        from matrix_fhe_tpu.ops import modmath as mm
+        params = self.params
+        q0 = params.q[0]
+        rq0 = params.ring_q.at_level(0)
+        rq = params.ring_q
+
+        def centered_lift(coeff):
+            neg = coeff >= jnp.uint64(q0 >> 1)
+            mag = jnp.where(neg, jnp.uint64(q0) - coeff, coeff)
+            t = mm.bred_add(mag[None, :], rq.moduli[:, None], rq.bhi[:, None])
+            return jnp.where(neg[None, :],
+                             jnp.where(t == 0, jnp.uint64(0),
+                                       rq.moduli[:, None] - t),
+                             t)
+
+        vals = []
+        for v in ct.value:
+            coeff = rq0.intt(v)[..., 0, :]  # [N] mod q0
+            vals.append(rq.ntt(centered_lift(coeff)))
+        return ct.with_value(tuple(vals))
 
     def mul_plain(self, a: Ciphertext, pt: Plaintext) -> Ciphertext:
         level = min(a.level, pt.level)
@@ -348,7 +395,7 @@ class Evaluator:
     def trace(self, a: Ciphertext, log_slots: int) -> Ciphertext:
         """Project onto 2^log_slots slots (evaluator-level binding of
         rlwe trace; inner_sum.go:36)."""
-        return rlwe_eval.trace(self.params, a, log_slots + 1, self.gks)
+        return self.trace_log_n(a, log_slots + 1)
 
     def galois_elements_for_inner_sum(self, batch: int, n: int) -> list[int]:
         els = set()
