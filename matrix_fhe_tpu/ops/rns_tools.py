@@ -272,7 +272,9 @@ class Decomposer:
 
 
 def gen_decomposer(Q: list[int], P: list[int]) -> Decomposer:
-    alpha = len(P)
+    # P-less parameter sets (levelP = -1): one single-limb digit per Q prime
+    # (BaseRNSDecompositionVectorSize, core/rlwe/params.go:635-642).
+    alpha = max(len(P), 1)
     nd = -(-len(Q) // alpha)
     mucs = []
     for i in range(nd):
@@ -307,6 +309,12 @@ def decompose_single_ntt(dec: Decomposer, digit: int, x_ntt: jnp.ndarray,
         qq = ring_q.moduli[:, None]
         tq = mm.bred_add(mag, qq, ring_q.bhi[:, None])
         yq = jnp.where(neg, mm.cred(qq - tq, qq), tq)
+        if ring_p is None:  # P-less key switch (levelP = -1)
+            yq = ring_q.ntt(yq)
+            yq = jnp.concatenate(
+                [yq[..., :start, :], x_ntt[..., start:end, :],
+                 yq[..., end:, :]], axis=-2)
+            return yq, None
         pp = ring_p.moduli[:, None]
         tp = mm.bred_add(mag, pp, ring_p.bhi[:, None])
         yp = jnp.where(neg, mm.cred(pp - tp, pp), tp)

@@ -10,6 +10,8 @@ boundaries.
 
 from __future__ import annotations
 
+import collections
+
 import jax
 import jax.numpy as jnp
 
@@ -39,15 +41,49 @@ def decompose_ntt(params: Parameters, level: int, cx: jnp.ndarray,
     return fn(cx_ntt, cx_inv)
 
 
+def decompose_ntt_base2(params: Parameters, level: int, cx: jnp.ndarray,
+                        base_two: int, level_p: int, cx_is_ntt: bool = True
+                        ) -> list[tuple[jnp.ndarray, jnp.ndarray | None]]:
+    """Single-P/bit decomposition of cx (the mask/shift loop of
+    gadgetProductSinglePAndBitDecompLazy, evaluator_gadget_product.go:190-303):
+    digit (i, j) is the unsigned base-2^B digit j of limb i of INTT(cx),
+    broadcast (reduced) to every (Q, P') limb and NTT'd.  Ragged-flattened
+    (i)-major, matching the key layout of keys._gen_evaluation_key_arrays_b2."""
+    from matrix_fhe_tpu.ops import modmath as mm
+    from matrix_fhe_tpu.rlwe.keys import base_two_counts
+    rq = params.ring_q.at_level(level)
+    rp = None if level_p < 0 else params.ring_p.at_level(level_p)
+    cx_inv = rq.intt(cx) if cx_is_ntt else cx
+    counts = base_two_counts(params.q[: level + 1], base_two)
+    mask = jnp.uint64((1 << base_two) - 1)
+    out = []
+    for i in range(level + 1):
+        ci = cx_inv[..., i, :]
+        for j in range(counts[i]):
+            cw = (ci >> jnp.uint64(j * base_two)) & mask   # [N] < 2^B
+            tq = mm.bred_add(cw[..., None, :], rq.moduli[:, None],
+                             rq.bhi[:, None])
+            yq = rq.ntt(tq)
+            yp = None
+            if rp is not None:
+                tp = mm.bred_add(cw[..., None, :], rp.moduli[:, None],
+                                 rp.bhi[:, None])
+                yp = rp.ntt(tp)
+            out.append((yq, yp))
+    return out
+
+
 def gadget_product_hoisted_lazy(params: Parameters, level: int,
                                 digits: list[tuple[jnp.ndarray, jnp.ndarray]],
                                 gadget: GadgetCiphertext):
     """<decomp(cx), gadget> over the extended basis (Q, P) — the P-scaled
     accumulator before ModDown (gadgetProductMultiplePLazy,
     evaluator_gadget_product.go:123-190).  Returns (d0q, d1q, d0p, d1p);
-    the p parts are None when the parameter set has no auxiliary primes."""
+    the p parts are None when the gadget has no auxiliary primes.  The
+    auxiliary ring follows the *gadget's* P level (single-P keys carry one
+    limb, evaluator_gadget_product.go:190)."""
     rq = params.ring_q.at_level(level)
-    rp = params.ring_p
+    rp = None if gadget.p is None else params.ring_p.at_level(gadget.level_p)
     lq = level + 1
 
     acc = [None, None, None, None]  # d0q, d1q, d0p, d1p
@@ -74,13 +110,16 @@ def gadget_product_hoisted_lazy(params: Parameters, level: int,
 
 def mod_down_qp(params: Parameters, level: int, xq: jnp.ndarray,
                 xp: jnp.ndarray | None) -> jnp.ndarray:
-    """Divide a (Q, P) element by P -> Q (BasisExtender.ModDownQPtoQNTT,
-    ring/basis_extension.go:241)."""
-    if params.ring_p is None:
+    """Divide a (Q, P') element by P' -> Q (BasisExtender.ModDownQPtoQNTT,
+    ring/basis_extension.go:241); P' is read off ``xp`` so truncated-P
+    gadget accumulators divide by their own auxiliary basis.  xp None = the
+    P-less path (ModDown is the identity, evaluator_gadget_product.go:70)."""
+    if params.ring_p is None or xp is None:
         return xq
-    mdc = params.moddown_constants(level, params.max_level_p)
+    lp = int(xp.shape[-2]) - 1
+    mdc = params.moddown_constants(level, lp)
     return rt.mod_down(xq, xp, mdc, params.ring_q.at_level(level),
-                       params.ring_p, ntt=True)
+                       params.ring_p.at_level(lp), ntt=True)
 
 
 def gadget_product_hoisted(params: Parameters, level: int,
@@ -105,7 +144,10 @@ def gadget_product_hoisted(params: Parameters, level: int,
 # so caching one XLA executable per (params fingerprint, level, flavor)
 # replaces thousands of tiny eager dispatches (the dominant cost of
 # bootstrapping / lintrans on host backends).  params is closed over.
-_JIT_CACHE: dict = {}
+# Bounded LRU so long-lived processes touching many parameter sets do not
+# pin executables forever (ADVICE r3, low).
+_JIT_CACHE: collections.OrderedDict = collections.OrderedDict()
+_JIT_CACHE_MAX = 1024
 
 
 def _pjit(name: str, params: Parameters, level: int, make):
@@ -115,12 +157,28 @@ def _pjit(name: str, params: Parameters, level: int, make):
     if fn is None:
         fn = jax.jit(make())
         _JIT_CACHE[ck] = fn
+        while len(_JIT_CACHE) > _JIT_CACHE_MAX:
+            _JIT_CACHE.popitem(last=False)
+    else:
+        _JIT_CACHE.move_to_end(ck)
     return fn
 
 
 def gadget_product(params: Parameters, level: int, cx: jnp.ndarray,
                    gadget: GadgetCiphertext) -> tuple[jnp.ndarray, jnp.ndarray]:
-    """GadgetProduct (evaluator_gadget_product.go:16-30), NTT-domain cx."""
+    """GadgetProduct (evaluator_gadget_product.go:16-30), NTT-domain cx.
+    Dispatches on the gadget flavor: multiple-P RNS digits (default) or the
+    single-P/base-2^B path (:190-325)."""
+    if gadget.base_two > 0:
+        def _gp_b2_impl(cx_, g):
+            digits = decompose_ntt_base2(params, level, cx_, g.base_two,
+                                         g.level_p)
+            acc = gadget_product_hoisted_lazy(params, level, digits, g)
+            return (mod_down_qp(params, level, acc[0], acc[2]),
+                    mod_down_qp(params, level, acc[1], acc[3]))
+        fn = _pjit(f"gadget_product_b2_{gadget.base_two}_{gadget.level_p}",
+                   params, level, lambda: _gp_b2_impl)
+        return fn(cx, gadget)
     fn = _pjit("gadget_product", params, level, lambda: (
         lambda cx_, g: gadget_product_hoisted(
             params, level, decompose_ntt(params, level, cx_), g)))

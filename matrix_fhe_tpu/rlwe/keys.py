@@ -19,6 +19,7 @@ multi-P keys, as in the reference's main path).
 
 from __future__ import annotations
 
+import collections
 import dataclasses
 import functools
 
@@ -55,17 +56,53 @@ class PublicKey:
 
 
 @functools.partial(jax.tree_util.register_dataclass,
-                   data_fields=["q", "p"], meta_fields=[])
+                   data_fields=["q", "p"], meta_fields=["base_two"])
 @dataclasses.dataclass(frozen=True)
 class GadgetCiphertext:
     """core/rlwe/gadgetciphertext.go:19: dense digit-major storage.
-    q: [digits, 2, LQ, N]; p: [digits, 2, LP, N] (NTT + Montgomery form)."""
+    q: [digits, 2, LQ, N]; p: [digits, 2, LP, N] (NTT + Montgomery form).
+
+    ``base_two`` > 0 selects the single-P/bit-decomposition gadget
+    (keys.go:298 EvaluationKeyParameters.BaseTwoDecomposition): rows are
+    (RNS limb i)-major x (base-2^B digit j), j < ceil(log2 q_i / B), and the
+    p part holds at most ONE auxiliary prime (or none)."""
     q: jnp.ndarray
     p: jnp.ndarray | None
+    base_two: int = 0
 
     @property
     def num_digits(self) -> int:
         return int(self.q.shape[0])
+
+    @property
+    def level_p(self) -> int:
+        return -1 if self.p is None else int(self.p.shape[-2]) - 1
+
+
+@dataclasses.dataclass(frozen=True)
+class EvaluationKeyParameters:
+    """core/rlwe/keys.go:293-298 EvaluationKeyParameters: per-key auxiliary
+    level and base-2^B decomposition.  ``base_two_decomposition`` > 0 is only
+    meaningful with level_p <= 0 (the reference collapses the base-2 count to
+    1 when LevelP > 0, params.go:615-633)."""
+    level_p: int | None = None           # -1 = no auxiliary primes
+    base_two_decomposition: int = 0
+
+
+def base_two_counts(moduli, base_two: int) -> list[int]:
+    """BaseTwoDecompositionVectorSize (params.go:615-633): digits per limb."""
+    return [(int(q).bit_length() + base_two - 1) // base_two for q in moduli]
+
+
+def _key_params_view(params: Parameters, level_p: int) -> Parameters:
+    """Parameters with the auxiliary basis truncated to P[:level_p+1]
+    (level_p = -1 drops P entirely) — the key's (Q, P') basis."""
+    if level_p == params.max_level_p:
+        return params
+    return Parameters(n=params.n, nth_root=params.nth_root, q=params.q,
+                      p=params.p[: level_p + 1], xe=params.xe, xs=params.xs,
+                      ring_type=params.ring_type, ntt_flag=params.ntt_flag,
+                      default_scale=params.default_scale)
 
 
 @functools.partial(jax.tree_util.register_dataclass,
@@ -195,20 +232,82 @@ def _gen_evaluation_key_arrays(key: jax.Array, params: Parameters,
 # One compiled kernel per parameter set: every relin/galois/evk generation
 # shares the same shapes, so eager per-op dispatch (the dominant cost of
 # generating dozens of bootstrapping galois keys) collapses into one cached
-# XLA executable.  Keyed by the parameter fingerprint, params closed over.
-_EVK_JIT_CACHE: dict = {}
+# XLA executable.  Keyed by the parameter fingerprint (incl. the noise/secret
+# distributions: the jitted body samples via params.xe/xs, so two parameter
+# sets differing only in distributions must not share an executable — ADVICE
+# r3, medium), params closed over.  Bounded LRU: each entry pins a compiled
+# executable for the process lifetime otherwise (ADVICE r3, low).
+_EVK_JIT_CACHE: collections.OrderedDict = collections.OrderedDict()
+_EVK_JIT_CACHE_MAX = 32
+
+
+def _gen_evaluation_key_arrays_b2(key: jax.Array, kp: Parameters,
+                                  sk_in_q: jnp.ndarray, sk_out: SecretKey,
+                                  base_two: int):
+    """Single-P/bit-decomposition gadget rows (gadgetciphertext.go:172-249
+    with BaseTwoDecomposition > 0): row (i, j) encrypts
+    P' * 2^{jB} * skIn * w_i, ragged-flattened (RNS limb i)-major with
+    j < ceil(log2 q_i / B)."""
+    rq = kp.ring_q
+    big_p = kp.big_p()
+    counts = base_two_counts(kp.q, base_two)
+    rows_q, rows_p = [], []
+    for i, qi in enumerate(kp.q):
+        for j in range(counts[i]):
+            key, sub = jax.random.split(key)
+            c0, c1 = encrypt_zero_qp(sub, kp, sk_out)
+            # MForm(P' * 2^{jB}) on limb i only
+            s = (big_p << (j * base_two)) % qi
+            sc = jnp.zeros((len(kp.q),), dtype=jnp.uint64)
+            sc = sc.at[i].set((s << 64) % qi)
+            scaled = rq.mul_scalar_montgomery(sk_in_q, sc)
+            row0 = mm.cred(c0.q + scaled, rq.moduli[:, None])
+            rows_q.append(jnp.stack([row0, c1.q]))
+            if kp.ring_p is not None:
+                rows_p.append(jnp.stack([c0.p, c1.p]))
+    gq = jnp.stack(rows_q)
+    gp = jnp.stack(rows_p) if rows_p else None
+    return gq, gp
 
 
 def gen_evaluation_key(key: jax.Array, params: Parameters, sk_in_q: jnp.ndarray,
-                       sk_out: SecretKey) -> EvaluationKey:
+                       sk_out: SecretKey,
+                       evk_params: EvaluationKeyParameters | None = None
+                       ) -> EvaluationKey:
     """genEvaluationKey (keygenerator.go:276-316): gadget rows are zero
     encryptions under sk_out plus P * skIn * digit-selectors.
 
     sk_in_q: [LQ, N] the input key mod Q, NTT + Montgomery form.
+    ``evk_params`` selects the single-P/bit-decomposition gadget
+    (keys.go:293-298); default is the multiple-P RNS-digit gadget.
     """
+    if evk_params is not None and (
+            evk_params.base_two_decomposition > 0
+            or (evk_params.level_p is not None
+                and evk_params.level_p != params.max_level_p)):
+        lp = params.max_level_p if evk_params.level_p is None \
+            else evk_params.level_p
+        b2 = evk_params.base_two_decomposition
+        if b2 > 0 and lp > 0:
+            raise ValueError("base-2^B decomposition requires level_p <= 0 "
+                             "(core/rlwe/params.go:615-633)")
+        kp = _key_params_view(params, lp)
+        sk_kp = sk_out if lp == params.max_level_p else SecretKey(
+            value=QPPoly(q=sk_out.value.q,
+                         p=None if lp < 0 else sk_out.value.p[: lp + 1]))
+        if b2 > 0:
+            gq, gp = _gen_evaluation_key_arrays_b2(key, kp, sk_in_q, sk_kp, b2)
+            return EvaluationKey(gadget=GadgetCiphertext(q=gq, p=gp,
+                                                         base_two=b2))
+        gq, gp = _gen_evaluation_key_arrays(key, kp, sk_in_q, sk_kp)
+        return EvaluationKey(gadget=GadgetCiphertext(q=gq, p=gp))
+
     has_p = params.ring_p is not None
-    ck = (params.n, tuple(params.q), tuple(params.p or ()), params.ring_type)
+    ck = (params.n, tuple(params.q), tuple(params.p or ()), params.ring_type,
+          params.xe, params.xs)
     fn = _EVK_JIT_CACHE.get(ck)
+    if fn is not None:
+        _EVK_JIT_CACHE.move_to_end(ck)
     if fn is None:
         if has_p:
             def fn(k, s_in, so_q, so_p):
@@ -221,6 +320,8 @@ def gen_evaluation_key(key: jax.Array, params: Parameters, sk_in_q: jnp.ndarray,
                     SecretKey(value=QPPoly(q=so_q, p=None)))[0]
         fn = jax.jit(fn)
         _EVK_JIT_CACHE[ck] = fn
+        while len(_EVK_JIT_CACHE) > _EVK_JIT_CACHE_MAX:
+            _EVK_JIT_CACHE.popitem(last=False)
     if has_p:
         gq, gp = fn(key, sk_in_q, sk_out.value.q, sk_out.value.p)
     else:
@@ -229,16 +330,20 @@ def gen_evaluation_key(key: jax.Array, params: Parameters, sk_in_q: jnp.ndarray,
 
 
 def gen_relinearization_key(key: jax.Array, params: Parameters,
-                            sk: SecretKey) -> RelinearizationKey:
+                            sk: SecretKey,
+                            evk_params: EvaluationKeyParameters | None = None
+                            ) -> RelinearizationKey:
     """keygenerator.go:116-120: evk for s^2 -> s."""
     rq = params.ring_q
     sk2 = rq.mul_coeffs_montgomery(sk.value.q, sk.value.q)  # MForm(s^2)
-    evk = gen_evaluation_key(key, params, sk2, sk)
+    evk = gen_evaluation_key(key, params, sk2, sk, evk_params)
     return RelinearizationKey(gadget=evk.gadget)
 
 
 def gen_galois_key(key: jax.Array, params: Parameters, sk: SecretKey,
-                   gal_el: int) -> GaloisKey:
+                   gal_el: int,
+                   evk_params: EvaluationKeyParameters | None = None
+                   ) -> GaloisKey:
     """keygenerator.go:139-174: gk encrypts [-a pi_{k^-1}(sk) + w P sk, a] —
     the gadget re-encrypts from sk to pi_{k^-1}(sk); the evaluator then applies
     pi_k to the result (evaluator_automorphism.go:45-52)."""
@@ -252,7 +357,7 @@ def gen_galois_key(key: jax.Array, params: Parameters, sk: SecretKey,
     sk_out = SecretKey(value=QPPoly(
         q=sk.value.q[..., iidx],
         p=None if sk.value.p is None else sk.value.p[..., iidx]))
-    evk = gen_evaluation_key(key, params, sk.value.q, sk_out)
+    evk = gen_evaluation_key(key, params, sk.value.q, sk_out, evk_params)
     return GaloisKey(gadget=evk.gadget, gal_el=gal_el)
 
 
