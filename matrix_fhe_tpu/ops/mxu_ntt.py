@@ -133,8 +133,12 @@ def four_step_factors(n: int, q: int, psi: int):
     A = pows[(C * e_hi[:, None] * j1[None]) % two_n]
     T = pows[(e_hi[:, None] * j0[None]) % two_n]
     B = pows[(2 * R * brv_c[:, None] * j0[None]) % two_n]
-    Ainv = pows[(-C * j1[:, None] * e_hi[None]) % two_n] * rinv % q
-    Binv = pows[(-2 * R * j0[:, None] * brv_c[None]) % two_n] * cinv % q
+    # N^{-1} folding must run in object space: psi-power * rinv overflows
+    # int64 for wide (>32-bit) moduli
+    Ainv = (pows[(-C * j1[:, None] * e_hi[None]) % two_n].astype(object)
+            * rinv % q).astype(np.int64)
+    Binv = (pows[(-2 * R * j0[:, None] * brv_c[None]) % two_n].astype(object)
+            * cinv % q).astype(np.int64)
     Tinv = pows[(-e_hi[:, None] * j0[None]) % two_n]
     return A, T, B, Ainv, Binv, Tinv
 
