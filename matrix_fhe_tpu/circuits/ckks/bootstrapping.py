@@ -51,6 +51,13 @@ class ParametersLiteral:
     # ModUp step (keys.go EvkDenseToSparse/EvkSparseToDense + the
     # CHANGELOG.md:11-12 security fix); 0 = dense-key path.
     ephemeral_secret_weight: int = 0
+    # Explicit moduli overriding the bit-budget chain generation (the
+    # reference's default sets list explicit primes too,
+    # default_parameters.go:25-195).  When set, ``q`` must follow the
+    # [residual | S2C | Mod1 | C2S] layout and match the literal's level
+    # counts; the log_q/log_p budgets are then only documentation.
+    q: tuple[int, ...] | None = None
+    p: tuple[int, ...] | None = None
 
 
 class Parameters:
@@ -70,9 +77,18 @@ class Parameters:
 
         logq = (tuple(lit.residual_log_q) + tuple(lit.s2c_log_q)
                 + (lit.mod1_log_q,) * m1_depth + tuple(lit.c2s_log_q))
-        self.params = ckks.new_parameters(ckks.CKKSParametersLiteral(
-            logn=lit.log_n, logq=logq, logp=lit.log_p,
-            log_default_scale=lit.log_default_scale))
+        if lit.q is not None:
+            if len(lit.q) != len(logq):
+                raise ValueError(
+                    f"explicit q has {len(lit.q)} primes, chain layout "
+                    f"needs {len(logq)}")
+            self.params = ckks.new_parameters(ckks.CKKSParametersLiteral(
+                logn=lit.log_n, q=tuple(lit.q), p=tuple(lit.p),
+                log_default_scale=lit.log_default_scale))
+        else:
+            self.params = ckks.new_parameters(ckks.CKKSParametersLiteral(
+                logn=lit.log_n, logq=logq, logp=lit.log_p,
+                log_default_scale=lit.log_default_scale))
 
         L = self.params.max_level
         d_c2s = len(lit.c2s_log_q)

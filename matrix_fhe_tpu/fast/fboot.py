@@ -68,20 +68,35 @@ def fast_parameters_literal(log_n: int, residual_levels: int = 3,
                             sparse_weight: int = 32) -> btp.ParametersLiteral:
     """A fast-path bootstrapping literal for degree 2^log_n.
 
-    q0 ~ 2^22, message ratio 2^7 (bottom scale ~2^15), default scale 2^15,
-    CosDiscrete degree 30 / K=16 with 3 double-angle rounds over a
+    q0 ~ 2^22-2^23, message ratio 2^7 (bottom scale ~2^15), default scale
+    2^15, CosDiscrete degree 30 / K=16 with 3 double-angle rounds over a
     sparse-encapsulated secret of weight ``sparse_weight`` (keys.go:400);
     pass sparse_weight=0 for the dense-key path (toy/test sizes only — the
     dense secret's larger ||I(X)|| needs K beyond this preset's budget at
-    production degrees)."""
-    return btp.ParametersLiteral(
+    production degrees).
+
+    Prime availability: NTT-friendly primes < 2^23 come at spacing 2N, so
+    the pool thins as the degree grows (at logN=14 there are only ~12
+    23-bit and ~9 22-bit candidates).  At logN >= 13 the preset therefore
+    splits the chain across the 23/22-bit pools (exact Fraction scale
+    tracking absorbs the nonuniform prime sizes); logN >= 15 exceeds the
+    total <2^23 pool and needs the wide-modulus path."""
+    if log_n >= 13:
+        # 23-bit pool (12 downstream at logN=14): q0 + mod1 x depth(8) + c2s x3
+        # 22-bit pool (9 at logN=14): residual x3 + s2c x3 + P x3
+        if residual_levels > 3:
+            raise ValueError("logN>=13 fast preset budgets 3 residual levels")
+        q0, mod1_b, c2s_b, other = 23, 23, 23, 22
+    else:
+        q0, mod1_b, c2s_b, other = 22, 22, 22, 22
+    lit = btp.ParametersLiteral(
         log_n=log_n,
-        residual_log_q=(22,) * residual_levels,
-        log_p=(22, 22, 22),
+        residual_log_q=(q0,) + (other,) * (residual_levels - 1),
+        log_p=(other,) * 3,
         log_slots=None,
-        c2s_log_q=(22, 22, 22),
-        s2c_log_q=(22, 22, 22),
-        mod1_log_q=22,
+        c2s_log_q=(c2s_b,) * 3,
+        s2c_log_q=(other,) * 3,
+        mod1_log_q=mod1_b,
         mod1_type="cos_discrete",
         mod1_k=16,
         mod1_degree=30,
@@ -90,7 +105,48 @@ def fast_parameters_literal(log_n: int, residual_levels: int = 3,
         log_default_scale=15,
         ephemeral_secret_weight=sparse_weight,
     )
+    return _with_fast_moduli(lit)
+
+
+def _with_fast_moduli(lit: btp.ParametersLiteral) -> btp.ParametersLiteral:
+    """Assign explicit <2^23 primes to the literal's chain layout.
+
+    The generic chain generator enumerates primes alternating around 2^bits
+    (GenModuli, core/rlwe/params.go:903) — for bits=23 half of those land
+    above 2^23 and off the fast path, so the fast presets pick their primes
+    downstream-only at 23 bits and alternating below."""
+    import dataclasses as _dc
+
+    from matrix_fhe_tpu.circuits.ckks import mod1 as _m1
+    from matrix_fhe_tpu.utils import primes as _pr
+
+    m1_depth = _m1.ParametersLiteral(
+        level_q=0, log_scale=lit.mod1_log_q, mod1_type=lit.mod1_type,
+        k=lit.mod1_k, mod1_degree=lit.mod1_degree,
+        double_angle=lit.mod1_double_angle,
+        mod1_inv_degree=lit.mod1_inv_degree).depth()
+    layout = (tuple(lit.residual_log_q) + tuple(lit.s2c_log_q)
+              + (lit.mod1_log_q,) * m1_depth + tuple(lit.c2s_log_q))
+    sizes: dict[int, int] = {}
+    for b in layout + tuple(lit.log_p):
+        sizes[b] = sizes.get(b, 0) + 1
+    n = 1 << lit.log_n
+    pools: dict[int, list[int]] = {}
+    for bits, count in sizes.items():
+        g = _pr.NTTFriendlyPrimesGenerator(bits, 2 * n)
+        out: list[int] = []
+        while len(out) < count:
+            p = (g.next_downstream_prime() if bits >= 23
+                 else g.next_alternating_prime())
+            if p < fring.MAX_FAST_MODULUS:
+                out.append(p)
+        pools[bits] = out
+    q = tuple(pools[b].pop(0) for b in layout)
+    p = tuple(pools[b].pop(0) for b in lit.log_p)
+    return _dc.replace(lit, q=q, p=p)
 
 
 FAST_N14 = fast_parameters_literal(14)
-FAST_N15 = fast_parameters_literal(15)
+# logN >= 15 exceeds the total pool of NTT-friendly primes < 2^23 (prime
+# spacing is 2N); production degrees 2^15-2^16 run on the wide-modulus
+# (45-bit) path instead.

@@ -43,12 +43,16 @@ MAX_WIDE_MODULUS = 3 << 54          # 1.5 * 2^55, covers the 55-bit primes
 
 _B12 = 1 << 11                      # balanced base-2^12 bias
 _B25 = 1 << 24                      # balanced base-2^25 bias
-_MAGIC = jnp.float32(1.5 * 2 ** 23)  # f32 round-to-nearest-even constant
 
 
 def _rint_i32(a: jnp.ndarray) -> jnp.ndarray:
-    """Round-to-nearest-even of f32 |a| < 2^22, as int32."""
-    return ((a + _MAGIC) - _MAGIC).astype(jnp.int32)
+    """Round-to-nearest-even of f32 |a| < 2^22, as int32.
+
+    Must be jnp.rint, NOT the magic-constant trick ((a + 1.5*2^23) -
+    1.5*2^23): under jit XLA's algebraic simplifier folds the add/sub pair
+    away, silently turning the round into a truncation (the Pallas kernels
+    can use the trick because Mosaic does not run that rewrite)."""
+    return jnp.rint(a).astype(jnp.int32)
 
 
 def _bal12(v: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:
