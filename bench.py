@@ -171,6 +171,66 @@ def bench_rotate(quick: bool) -> dict:
             "logn": logn}
 
 
+def bench_wide_ct_mult(quick: bool) -> dict:
+    """45/55-bit (PN14QP438-shaped) ct-mult + relinearize + rescale on the
+    wide pair path (fast/wckks.py).  Bit-exactness vs the u64 evaluator is
+    pinned in tests/test_wring.py; operands here are uniform mod q."""
+    import jax.lax as lax
+    from matrix_fhe_tpu.fast import wckks
+
+    logn = 12 if quick else 14
+    num_q, num_p = (5, 2) if quick else (7, 2)
+    ctx, (c0, c1, d0, d1) = wckks.make_synthetic_context(logn, num_q, num_p)
+    rq = ctx.ring_q
+
+    def one(carry):
+        a0, a1 = carry
+        o0, o1 = wckks.mul_relin_rescale(ctx, a0, a1, d0, d1)
+        pad = [(0, 0)] * (o0.ndim - 3) + [(0, 0), (0, num_q - o0.shape[-2]),
+                                          (0, 0)]
+        return rq.add(a0, jnp.pad(o0, pad)), rq.add(a1, jnp.pad(o1, pad))
+
+    iters = 10 if quick else 30
+
+    @jax.jit
+    def run(c):
+        return lax.fori_loop(0, iters, lambda _, v: one(v), c)
+
+    jax.block_until_ready(run((c0, c1)))
+    best = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        jax.block_until_ready(run((c0, c1)))
+        best = min(best, time.perf_counter() - t0)
+    dt = best / iters
+    return {"wide_ct_mult_per_s": 1.0 / dt, "dt": dt, "logn": logn,
+            "num_q": num_q, "num_p": num_p}
+
+
+# -- roofline accounting (BASELINE: "profiled to speed-of-light per chip") ---
+# TPU v5e (v5 lite) per-chip peaks: 394 TOPs int8 MXU, 197 TFLOPs bf16,
+# 819 GB/s HBM.
+V5E_INT8_OPS = 394e12
+V5E_HBM_BPS = 819e9
+
+
+def ntt_roofline(logn: int, limbs: int, per_s: float,
+                 digit_planes: int = 3) -> dict:
+    """Model the four-step digit-plane NTT: 2 matmul stages of
+    [M, dK] @ [dK, dK'] int8 MACs per (limb, transform) + int32 in/out HBM
+    traffic (pair path doubles bytes via digit_planes=7 and 8 B/coeff)."""
+    n = 1 << logn
+    a_bits = logn // 2
+    R, C = 1 << a_bits, 1 << (logn - a_bits)
+    d = digit_planes
+    macs = C * (d * R) * (d * R) + R * (d * C) * (d * C)  # per limb-transform
+    int8_ops = 2 * macs * per_s
+    coeff_bytes = 8 if d == 7 else 4
+    hbm = 2 * n * coeff_bytes * per_s  # read + write per limb-transform
+    return {"mxu_util": round(int8_ops / V5E_INT8_OPS, 4),
+            "hbm_frac": round(hbm / V5E_HBM_BPS, 4)}
+
+
 def bench_ct_mult_u64(quick: bool) -> dict:
     """Reference-parity u64 evaluator path (secondary metric)."""
     from matrix_fhe_tpu.flagship import build_flagship, make_step
@@ -208,6 +268,12 @@ def main() -> None:
         print(f"rotate bench failed: {e}", file=sys.stderr)
         rot = None
     try:
+        wct = bench_wide_ct_mult(quick)
+        print(f"ct_mult (wide 45/55-bit): {wct}", file=sys.stderr)
+    except Exception as e:  # pragma: no cover
+        print(f"wide ct_mult bench failed: {e}", file=sys.stderr)
+        wct = None
+    try:
         ct64 = bench_ct_mult_u64(quick)
         print(f"ct_mult (u64 45-bit): {ct64}", file=sys.stderr)
     except Exception as e:  # pragma: no cover
@@ -232,8 +298,14 @@ def main() -> None:
         result["ct_mult_relin_rescale_per_s"] = round(ct["ct_mult_per_s"], 2)
     if rot is not None:
         result["rot_hoisted_per_s"] = round(rot["rot_hoisted_per_s"], 2)
+    if wct is not None:
+        result["wide_ct_mult_per_s"] = round(wct["wide_ct_mult_per_s"], 2)
+        result["wide_ct_mult_logn"] = wct["logn"]
     if ntt64 is not None:
         result["u64_ntt_per_s"] = round(ntt64["ntt_per_s"], 1)
+    # roofline accounting vs the v5e chip peaks (speed-of-light audit)
+    result["roofline_ntt"] = ntt_roofline(14, 1, ntt["ntt_per_s"],
+                                          digit_planes=3)
     print(json.dumps(result))
 
 

@@ -121,6 +121,20 @@ class Parameters:
         return sorted(els)
 
 
+def galois_elements_for_packed_bootstrap(params, k: int) -> list[int]:
+    """Galois elements for the pack/partial-expand trees of
+    :meth:`Evaluator.bootstrap_packed` (ring_packing_keys.go:143-180)."""
+    from matrix_fhe_tpu.rlwe import ring_packing as rpk
+    log_k = k.bit_length() - 1
+    els = set(rpk.galois_elements_for_expand(params)[:log_k])
+    # pack stages i in [log_n - log_k, log_n)
+    for i in range(params.log_n - log_k, params.log_n):
+        els.add(params.nth_root - 1 if i == 0
+                else params.galois_element(1 << (i - 1)))
+    els.discard(1)
+    return sorted(els)
+
+
 @dataclasses.dataclass
 class EvaluationKeys:
     rlk: K.RelinearizationKey
@@ -288,6 +302,41 @@ class Evaluator:
         if len(cts) % 2:
             out.append(self.bootstrap(cts[-1]))
         return out
+
+    # -- packed sparse batch bootstrap (evaluator.go:880-1065) -------------
+    def bootstrap_packed(self, cts: list[Ciphertext],
+                         pack_gks: dict | None = None) -> list[Ciphertext]:
+        """Refresh k = 2^j sparse ciphertexts through ONE pipeline pass
+        (the equal-ring-degree analogue of PackAndSwitchN1ToN2 /
+        UnpackAndSwitch, bootstrapping/evaluator.go:880-1065).
+
+        Requirement: each input's payload is k-fold replicated over the
+        slots (e.g. ``np.tile(v, k)``), so its plaintext coefficients live
+        on multiples of k.  The k inputs are interleaved into one dense
+        ciphertext by coefficient packing (ring_packing.pack with the
+        garbage positions zeroed), bootstrapped once, and split back by a
+        partial expand tree.  ``pack_gks`` must hold the galois keys from
+        :func:`galois_elements_for_packed_bootstrap` (defaults to the
+        evaluator's key set)."""
+        from matrix_fhe_tpu.rlwe import ring_packing as rpk
+
+        k = len(cts)
+        log_k = k.bit_length() - 1
+        if k < 2 or k != 1 << log_k:
+            raise ValueError("bootstrap_packed needs a power-of-two batch >= 2")
+        params = self.p.params
+        if any(c.level != cts[0].level or c.scale != cts[0].scale
+               for c in cts):
+            raise ValueError("inputs must share level and scale")
+        gks = pack_gks if pack_gks is not None else self.gks
+
+        packed = rpk.pack(params, {j: c for j, c in enumerate(cts)},
+                          input_log_gap=log_k, zero_garbage_slots=True,
+                          gks=gks)
+        out = self.bootstrap(packed)
+        outs = rpk.expand(params, out, log_gap=0, gks=gks,
+                          num_stages=log_k)
+        return [outs[j] for j in range(k)]
 
     # -- iterative META-BTS (evaluator.go:345-493) -------------------------
     def evaluate(self, ct: Ciphertext, iterations: int = 1,

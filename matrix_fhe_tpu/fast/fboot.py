@@ -52,11 +52,20 @@ def make_fast_bootstrapper(p: btp.Parameters,
     in/out are int32 fast-path ciphertexts (convert with ct_to_fast /
     ct_to_u64).
     """
+    from matrix_fhe_tpu.fast import flintrans as _flt
     params = p.params
     check_fast_chain(params)
     fev = feval.make_fast_evaluator(params, evk.rlk, evk.gks)
     fenc = FastBootstrapEncoder(params)
-    return btp.Evaluator(p, evk, ev=fev, enc=fenc)
+    bts = btp.Evaluator(p, evk, ev=fev, enc=fenc)
+    # prime lazy host-side conversions so the pipeline can be traced whole
+    for m in list(bts.c2s_matrix.matrices) + list(bts.s2c_matrix.matrices):
+        if id(m) not in fev._flt_cache:
+            fev._flt_cache[id(m)] = _flt.convert_lintrans(params, m)
+    for e in (evk.evk_dense_to_sparse, evk.evk_sparse_to_dense):
+        if e is not None:
+            fev._evk32(e, params.max_level)
+    return bts
 
 
 # -- word-size-reduced presets ------------------------------------------------
@@ -149,4 +158,67 @@ def _with_fast_moduli(lit: btp.ParametersLiteral) -> btp.ParametersLiteral:
 FAST_N14 = fast_parameters_literal(14)
 # logN >= 15 exceeds the total pool of NTT-friendly primes < 2^23 (prime
 # spacing is 2N); production degrees 2^15-2^16 run on the wide-modulus
-# (45-bit) path instead.
+# (45-bit) path below.
+
+
+# -- wide-path (45/55-bit) bootstrapping --------------------------------------
+# Reference-grade chains (default_parameters.go:25-40 shapes, capped at
+# 55-bit since the wide kernels cover [2^41, 1.5*2^55)): 45-bit default
+# scale, 55-bit q0/mod1/C2S moduli.  45-bit primes are plentiful at every
+# degree (spacing 2N << 2^45), so these presets scale to logN 15/16 where
+# the <2^23 pool runs dry.
+
+def check_wide_chain(params) -> None:
+    from matrix_fhe_tpu.ops import wide as _w
+    for q in list(params.q) + list(params.p or ()):
+        if not _w.MIN_WIDE_MODULUS <= q < _w.MAX_WIDE_MODULUS:
+            raise ValueError(
+                f"modulus {q} outside [2^41, 1.5*2^55): chain is not "
+                f"wide-path compatible (use a wide_parameters_literal preset)")
+
+
+def wide_parameters_literal(log_n: int, residual_levels: int = 3,
+                            sparse_weight: int = 32) -> btp.ParametersLiteral:
+    """A wide-path bootstrapping literal for degree 2^log_n: 55-bit q0,
+    2^45 default scale, message ratio 2^8, CosDiscrete degree 30 / K=16
+    with 3 double-angle rounds — the reference default sets' shape
+    (default_parameters.go:25-40) with every prime inside the wide range."""
+    return btp.ParametersLiteral(
+        log_n=log_n,
+        residual_log_q=(55,) + (45,) * (residual_levels - 1),
+        log_p=(55, 55),
+        log_slots=None,
+        c2s_log_q=(55, 55, 55),
+        s2c_log_q=(45, 45, 45),
+        mod1_log_q=55,
+        mod1_type="cos_discrete",
+        mod1_k=16,
+        mod1_degree=30,
+        mod1_double_angle=3,
+        log_message_ratio=8,
+        log_default_scale=45,
+        ephemeral_secret_weight=sparse_weight,
+    )
+
+
+def make_wide_bootstrapper(p: btp.Parameters,
+                           evk: btp.EvaluationKeys) -> btp.Evaluator:
+    """Bootstrapping evaluator whose pipeline runs on the wide 45/55-bit
+    path (fast/weval.py WideEvaluator injected).  Ciphertexts in/out are
+    wide pair ciphertexts (convert with weval.ct_to_wide / ct_to_u64)."""
+    from matrix_fhe_tpu.fast import weval as _weval, wlintrans as _wlt
+    params = p.params
+    check_wide_chain(params)
+    wev = _weval.make_wide_evaluator(params, evk.rlk, evk.gks)
+    wenc = _weval.WideEncoder(params)
+    bts = btp.Evaluator(p, evk, ev=wev, enc=wenc)
+    # Prime the lazy host-side conversions (DFT diagonals, encapsulation
+    # keys) eagerly: under jit the whole pipeline is staged and np-based
+    # conversion of traced constants is impossible at trace time.
+    for m in list(bts.c2s_matrix.matrices) + list(bts.s2c_matrix.matrices):
+        if id(m) not in wev._wlt_cache:
+            wev._wlt_cache[id(m)] = _wlt.convert_lintrans(params, m)
+    for e in (evk.evk_dense_to_sparse, evk.evk_sparse_to_dense):
+        if e is not None:
+            wev._evk_wide(e, params.max_level)
+    return bts

@@ -140,7 +140,7 @@ def mod_up(x: jnp.ndarray, muc: FastModUpConstants, src: FastRing,
 
     dq = dst.moduli[:, None]
     dqinv = dst.qinv_f[:, None]
-    acc = jnp.zeros(y.shape[:-2] + (dst.num_limbs, y.shape[-1]),
+    acc = jnp.zeros(y.shape[:-2] + (dst.moduli.shape[0], y.shape[-1]),
                     dtype=jnp.int32)
     for i in range(LQ):
         c = muc.qoverqi_mod_p[:, i][:, None]

@@ -265,8 +265,11 @@ def _lift_digit_coeff(dec: WideDecomposer, digit: int, x_inv: jnp.ndarray,
     muc = dec.mucs[digit]
 
     if muc is None or end - start == 1:
-        lo = x_inv[..., 0, start, :]
-        hi = x_inv[..., 1, start, :]
+        # exact reference-convention centered lift (the pair representation
+        # near +-q/2 is ambiguous; the u64 path lifts c >= q>>1 negative)
+        lo, hi = wide.center_lift(ring_q.limb_band(start, end).tabs,
+                                  x_inv[..., 0, start, :],
+                                  x_inv[..., 1, start, :])
         yq = spread_value(lo, hi, ring_q.tabs)
         yp = spread_value(lo, hi, ring_p.tabs)
     else:

@@ -368,6 +368,42 @@ def mac_planes(acc: list[jnp.ndarray] | None, pa: list[jnp.ndarray],
     return [acc[k] + p[k] for k in range(5)]
 
 
+def center_lift(t: WideTables, lo: jnp.ndarray, hi: jnp.ndarray
+                ) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Exact reference-convention centered lift of a pair mod q (single-limb
+    tables [1]-shaped or scalar per-limb broadcast): value -> canonical
+    c in [0, q), then c - q iff c >= (q-1)/2 (the u64 path's
+    ``coeff >= q >> 1`` rule, rlwe/evaluator.py mod_raise and the
+    decomposer's single-limb digit lift).  Input may sit on either side of
+    +-q/2 (the pair representation near the boundary is ambiguous); the
+    output is the unique reference representative.  Requires |value| < q +
+    q/2 and normalized lo (balanced 25-bit).
+
+    ``t`` must be SINGLE-LIMB tables; ``lo``/``hi`` carry NO limb axis
+    (shape [..., N]) — the constants enter as scalars so no axis is
+    injected."""
+    assert len(t.moduli) == 1, "center_lift takes single-limb tables"
+    q = int(t.moduli[0])
+    q_lo = jnp.int32(((q + _B25) & 0x1FFFFFF) - _B25)
+    q_hi = jnp.int32((q - int(q_lo)) >> 25)
+    neg = (hi < 0) | ((hi == 0) & (lo < 0))
+    clo = lo + jnp.where(neg, q_lo, 0)
+    chi = hi + jnp.where(neg, q_hi, 0)
+    lo_b = ((clo + jnp.int32(_B25)) & 0x1FFFFFF) - jnp.int32(_B25)
+    chi = chi + ((clo - lo_b) >> 25)
+    clo = lo_b
+    # h = (q-1) >> 1 as a normalized pair
+    h = (q - 1) >> 1
+    h_lo = jnp.int32(((h + _B25) & 0x1FFFFFF) - _B25)
+    h_hi = jnp.int32((h - int(h_lo)) >> 25)
+    ge = (chi > h_hi) | ((chi == h_hi) & (clo >= h_lo))
+    lo2 = clo - jnp.where(ge, q_lo, 0)
+    hi2 = chi - jnp.where(ge, q_hi, 0)
+    lo_b = ((lo2 + jnp.int32(_B25)) & 0x1FFFFFF) - jnp.int32(_B25)
+    hi2 = hi2 + ((lo2 - lo_b) >> 25)
+    return lo_b, hi2
+
+
 def canon(t: WideTables, a: jnp.ndarray) -> jnp.ndarray:
     """Bounded pair -> canonical centered pair, exact: |x| <= 0.5q with the
     sign convention of rounding (ties keep the f32-rint choice; use

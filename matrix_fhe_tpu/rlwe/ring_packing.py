@@ -59,22 +59,31 @@ def _mul_scalar_big(rq, v, c: int):
 
 
 def expand(params: Parameters, ct: Ciphertext, log_gap: int,
-           gks, x_inv_pow2=None) -> dict[int, Ciphertext]:
-    """Expand (ring_packing.go:475-622): NTT-domain degree-1 input."""
+           gks, x_inv_pow2=None,
+           num_stages: int | None = None) -> dict[int, Ciphertext]:
+    """Expand (ring_packing.go:475-622): NTT-domain degree-1 input.
+
+    ``num_stages`` < log_n stops the extraction tree early: the result is
+    2^num_stages ciphertexts where ct_j (times X^{-j}) carries the
+    coefficients with index ≡ j mod 2^num_stages and zeros elsewhere — the
+    inverse of a 2^num_stages-way coefficient interleave (the unpack step
+    of the packed batch bootstrap, evaluator.go:1003-1065)."""
     if params.ring_type != "standard":
         raise ValueError("expand requires the standard ring")
     level = ct.level
     rq = params.ring_q.at_level(level)
     log_n = params.log_n
+    if num_stages is None:
+        num_stages = log_n
     if x_inv_pow2 is None:
         x_inv_pow2 = gen_x_pow2_ntt(params, div=True)
 
-    n_inv = pow(1 << log_n, -1, rq.modulus_at_level(level))
+    n_inv = pow(1 << num_stages, -1, rq.modulus_at_level(level))
     base = ct.with_value(tuple(_mul_scalar_big(rq, v, n_inv) for v in ct.value))
 
     cts: dict[int, Ciphertext] = {0: base}
     gap = 1 << log_gap
-    for i in range(log_n):
+    for i in range(num_stages):
         n = 1 << i
         gal_el = params.n // n + 1
         for j in range(0, n, gap):

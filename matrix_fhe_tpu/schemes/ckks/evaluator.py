@@ -308,6 +308,55 @@ class Evaluator:
         prod = self.mul_const_complex(self._drop_level(x, res.level), c, pt_scale)
         return self.add(res, prod)
 
+    def _add_raw(self, res: Ciphertext, prod: Ciphertext) -> Ciphertext:
+        """Limb-wise accumulate ``prod`` into ``res`` at res's declared
+        scale (the MulThenAdd accumulation step: no scale re-matching)."""
+        ring = self._ring(res.level)
+        d = max(res.degree, prod.degree)
+        va = list(res.value) + [None] * (d - res.degree)
+        vb = list(prod.value) + [None] * (d - prod.degree)
+        out = tuple(x if y is None else (y if x is None else ring.add(x, y))
+                    for x, y in zip(va, vb))
+        return res.with_value(out)
+
+    def mul_then_add(self, a: Ciphertext, b, res: Ciphertext) -> Ciphertext:
+        """res += a * b WITHOUT relinearization (MulThenAdd,
+        evaluator.go:918-1046): ct x ct accumulates a degree-2 result;
+        ct x pt keeps the degree.  If res.scale < a.scale * b.scale (by a
+        ratio >= 2), res is first multiplied up to the product scale —
+        mulRelinThenAdd's noiseless-accumulation rule (:1100-1112)."""
+        return self._mul_then_add(a, b, res, relin=False)
+
+    def mul_relin_then_add(self, a: Ciphertext, b, res: Ciphertext) -> Ciphertext:
+        """res += relin(a * b) (MulRelinThenAdd, evaluator.go:1065-1094)."""
+        return self._mul_then_add(a, b, res, relin=True)
+
+    def _mul_then_add(self, a: Ciphertext, b, res: Ciphertext,
+                      relin: bool) -> Ciphertext:
+        if isinstance(b, Plaintext):
+            level = min(a.level, b.level, res.level)
+            prod = self.mul_plain(self._drop_level(a, level), b)
+        else:
+            level = min(a.level, b.level, res.level)
+            prod = self._tensor(self._drop_level(a, level),
+                                self._drop_level(b, level), relin=False)
+            if relin:
+                prod = self.relinearize(prod)
+        res = self._drop_level(res, level)
+        res_scale = prod.scale
+        if res.scale < res_scale:
+            ratio = res_scale / res.scale
+            # only scale up when int(ratio) >= 2, truncated like the
+            # reference's ratio.Value.Int (evaluator.go:1104-1110)
+            if int(ratio) >= 2:
+                res = self._mul_integer(res, int(ratio)).with_metadata(
+                    scale=res_scale)
+        elif res.scale > res_scale:
+            raise ValueError(
+                "mul_then_add: res.scale > a.scale * b.scale is unsupported "
+                "(evaluator.go:1103)")
+        return self._add_raw(res, prod)
+
     # -- rescaling ---------------------------------------------------------------
     def rescale(self, a: Ciphertext) -> Ciphertext:
         """Divide by the last modulus (evaluator.go:500-542)."""

@@ -165,3 +165,32 @@ def test_encode_prec128():
     got = enc.decode(pt)
     # decode is float64-bounded; the embed itself must be high precision
     ckks.precision.assert_precision(v, got, 40)
+
+
+def test_mul_then_add(ctx):
+    """MulThenAdd / MulRelinThenAdd (evaluator.go:918-1094): accumulating
+    products into a running sum without intermediate copies."""
+    params, enc, sk, pk, ev = ctx
+    rng = np.random.default_rng(9)
+    va, vb, vr = (_rand_values(params, rng) for _ in range(3))
+    a, b = _enc(ctx, va, 50), _enc(ctx, vb, 51)
+    # res at the product scale (the accumulation target convention)
+    res = ev.mul_relin(_enc(ctx, vr, 52), _enc(ctx, np.ones_like(vr), 53))
+
+    out = ev.mul_relin_then_add(a, b, res)
+    assert out.degree == 1
+    ckks.precision.assert_precision(vr + va * vb, _dec(ctx, out), 20)
+
+    out2 = ev.mul_then_add(a, b, res)
+    assert out2.degree == 2
+    ckks.precision.assert_precision(vr + va * vb, _dec(ctx, out2), 20)
+
+    # ct x pt accumulation
+    pt = enc.encode(vb)
+    out3 = ev.mul_then_add(a, pt, res)
+    assert out3.degree == 1
+    ckks.precision.assert_precision(vr + va * vb, _dec(ctx, out3), 20)
+
+    # scalar path (mul_const_then_add)
+    out4 = ev.mul_const_then_add(a, 0.5 + 0.0j, res)
+    ckks.precision.assert_precision(vr + 0.5 * va, _dec(ctx, out4), 20)

@@ -92,3 +92,8 @@ def test_ckks_sigmoid_minimax():
 @pytest.mark.slow
 def test_rgsw_blind_rotation():
     _run("rgsw_blind_rotation")
+
+
+@pytest.mark.slow
+def test_ckks_bootstrapping():
+    _run("ckks_bootstrapping")

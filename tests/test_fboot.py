@@ -7,9 +7,9 @@ ciphertexts must match limb-for-limb (VERDICT r3 task 1 done-criterion).
 
 Precision: single-prime (~2^22) logical levels leave only ~5 bits of message
 budget through EvalMod (22 - log ratio - log K - noise), so this chain's
-refreshed precision is NOT asserted here — the paired-prime (PREC128-style,
-levels_per_rescale=2) chain in test_fboot2.py carries the precision
-assertions.
+refreshed precision is NOT asserted here — reference-grade precision needs
+45-bit scales, which the wide-modulus path provides (test_wboot.py carries
+the precision assertions).
 """
 
 import numpy as np

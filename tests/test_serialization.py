@@ -86,3 +86,28 @@ def test_const_serialization_regression(ctx):
     # format guard: header magic + parseable
     assert data[:4] == b"MFT1"
     assert ser.load(data).metadata == pt.metadata
+
+
+def test_const_wire_vectors():
+    """Committed wire-format vectors (TestRLWEConstSerialization,
+    core/rlwe/rlwe_test.go:41): deterministic objects on a fixed parameter
+    set must serialize to these exact digests ACROSS sessions — any change
+    to the byte format must update them consciously."""
+    import jax
+    from matrix_fhe_tpu.rlwe import keys as K
+    from matrix_fhe_tpu.schemes import ckks as _ckks
+
+    params = _ckks.new_parameters(_ckks.CKKSParametersLiteral(
+        logn=6, logq=(45, 45), logp=(45,), log_default_scale=40))
+    enc = _ckks.Encoder(params)
+    v = np.arange(params.max_slots) / params.max_slots + 0j
+    pt = enc.encode(v)
+    sk = K.gen_secret_key(jax.random.key(0), params)
+    rlk = K.gen_relinearization_key(jax.random.key(1), params, sk)
+
+    assert hashlib.sha256(ser.save(pt)).hexdigest() == (
+        "c41d1ceaadc10de792cab7744df18b2415947e379c058c3f0a8f3f1374af7b81")
+    assert hashlib.sha256(ser.save(sk)).hexdigest() == (
+        "d9c48cc67d4295c6038b9d5f612f1dbcea5b93869fe13e80ea0d1236dfa41f3c")
+    assert hashlib.sha256(ser.save(rlk)).hexdigest() == (
+        "4b2784f830a504c3037f2bcc0e8d9172c56853b49b847904208eba2a0a8a1b09")
