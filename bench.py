@@ -306,6 +306,18 @@ def main() -> None:
     # roofline accounting vs the v5e chip peaks (speed-of-light audit)
     result["roofline_ntt"] = ntt_roofline(14, 1, ntt["ntt_per_s"],
                                           digit_planes=3)
+    # measured-offline bootstrap number (the full pipeline jitted into one
+    # XLA graph takes ~10+ min of keygen+compile, too slow to re-run inside
+    # every bench invocation; tools/probe_wboot_jit.py writes the artifact)
+    try:
+        import os
+        with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                               "BOOT_r04.json")) as f:
+            boot = json.load(f)
+        result["bootstrap_per_s_measured_offline"] = boot["bootstrap_per_s"]
+        result["bootstrap_logn"] = boot["logn"]
+    except Exception:
+        pass
     print(json.dumps(result))
 
 

@@ -102,8 +102,9 @@ class FastEvaluator(ckks.Evaluator):
                                    for v in ct.value))
 
     def _double_rns_scalars(self, level: int, c: complex, scale) -> tuple:
-        s0, s1 = super()._double_rns_scalars(level, c, scale)
-        return s0.astype(jnp.int32), s1.astype(jnp.int32)
+        s0, s1 = self._double_rns_scalar_ints(level, c, scale)
+        return (jnp.array(s0, dtype=jnp.int32)[:, None],
+                jnp.array(s1, dtype=jnp.int32)[:, None])
 
     # -- rescale -------------------------------------------------------------
     def rescale(self, a: Ciphertext) -> Ciphertext:

@@ -109,10 +109,12 @@ class WideEvaluator(ckks.Evaluator):
                                    for v in ct.value))
 
     def _double_rns_scalars(self, level: int, c: complex, scale) -> tuple:
-        s0, s1 = super()._double_rns_scalars(level, c, scale)
+        s0, s1 = self._double_rns_scalar_ints(level, c, scale)
         qs = self.params.q[: level + 1]
-        return (jnp.asarray(wide.pack_pair(np.asarray(s0), qs)),
-                jnp.asarray(wide.pack_pair(np.asarray(s1), qs)))
+        a0 = np.array(s0, dtype=np.uint64)[:, None]
+        a1 = np.array(s1, dtype=np.uint64)[:, None]
+        return (jnp.asarray(wide.pack_pair(a0, qs)),
+                jnp.asarray(wide.pack_pair(a1, qs)))
 
     # -- rescale -------------------------------------------------------------
     def rescale(self, a: Ciphertext) -> Ciphertext:

@@ -384,8 +384,11 @@ def center_lift(t: WideTables, lo: jnp.ndarray, hi: jnp.ndarray
     injected."""
     assert len(t.moduli) == 1, "center_lift takes single-limb tables"
     q = int(t.moduli[0])
-    q_lo = jnp.int32(((q + _B25) & 0x1FFFFFF) - _B25)
-    q_hi = jnp.int32((q - int(q_lo)) >> 25)
+    # all constants in pure host ints (jnp round-trips would stage under jit)
+    q_lo_i = ((q + _B25) & 0x1FFFFFF) - _B25
+    q_hi_i = (q - q_lo_i) >> 25
+    q_lo = jnp.int32(q_lo_i)
+    q_hi = jnp.int32(q_hi_i)
     neg = (hi < 0) | ((hi == 0) & (lo < 0))
     clo = lo + jnp.where(neg, q_lo, 0)
     chi = hi + jnp.where(neg, q_hi, 0)
@@ -394,8 +397,9 @@ def center_lift(t: WideTables, lo: jnp.ndarray, hi: jnp.ndarray
     clo = lo_b
     # h = (q-1) >> 1 as a normalized pair
     h = (q - 1) >> 1
-    h_lo = jnp.int32(((h + _B25) & 0x1FFFFFF) - _B25)
-    h_hi = jnp.int32((h - int(h_lo)) >> 25)
+    h_lo_i = ((h + _B25) & 0x1FFFFFF) - _B25
+    h_lo = jnp.int32(h_lo_i)
+    h_hi = jnp.int32((h - h_lo_i) >> 25)
     ge = (chi > h_hi) | ((chi == h_hi) & (clo >= h_lo))
     lo2 = clo - jnp.where(ge, q_lo, 0)
     hi2 = chi - jnp.where(ge, q_hi, 0)

@@ -234,7 +234,11 @@ class Evaluator:
     # in the NTT domain, the vector [a + b*i_q]*N/2 || [a - b*i_q]*N/2 with
     # i_q = psi^{N/2} = g^{(q-1)/4} a principal 4th root of unity mod q.
 
-    def _double_rns_scalars(self, level: int, c: complex, scale) -> tuple:
+    def _double_rns_scalar_ints(self, level: int, c: complex, scale
+                                ) -> tuple[list[int], list[int]]:
+        """Host-side per-limb integer scalars of a complex constant (pure
+        Python — safe to call at trace time; backends turn the lists into
+        their own array forms)."""
         from matrix_fhe_tpu.utils import primes as pr
         moduli = self.params.q[: level + 1]
 
@@ -249,7 +253,7 @@ class Evaluator:
         if self.params.ring_type == "conjugate_invariant":
             if b:
                 raise ValueError("complex constant undefined on the CI ring")
-            s = jnp.array([a % q for q in moduli], dtype=jnp.uint64)[:, None]
+            s = [a % q for q in moduli]
             return s, s
         s0, s1 = [], []
         for q in moduli:
@@ -258,6 +262,10 @@ class Evaluator:
             # match the NTT tables: psi = g^((q-1)/nth_root), i_q = psi^{N/2}
             s0.append((a + b * iq) % q)
             s1.append((a - b * iq) % q)
+        return s0, s1
+
+    def _double_rns_scalars(self, level: int, c: complex, scale) -> tuple:
+        s0, s1 = self._double_rns_scalar_ints(level, c, scale)
         return (jnp.array(s0, dtype=jnp.uint64)[:, None],
                 jnp.array(s1, dtype=jnp.uint64)[:, None])
 

@@ -102,6 +102,7 @@ for _ in range(3):
 print(f"bootstrap steady-state: {best:.3f}s -> {1/best:.3f} bootstraps/s "
       f"(logN={logn})")
 
+prec = None
 if sk is not None:
     out = Ciphertext(value=tuple(res), metadata=out_meta["meta"])
     got = bts.enc.decode(
@@ -110,3 +111,16 @@ if sk is not None:
     prec = -np.log2(np.maximum(err, 1e-17))
     print(f"precision: mean={prec.mean():.2f} min={prec.min():.2f} bits")
 print(f"total [{time.perf_counter()-t0:.1f}s]")
+
+# record the measured number for bench.py to carry (measured_offline tag)
+import json
+art = {"bootstrap_per_s": round(1 / best, 4), "seconds": round(best, 3),
+       "logn": logn, "chain": "wide 45/55-bit",
+       "slots": 1 << p.log_slots, "synthetic_keys": synthetic,
+       "backend": jax.default_backend()}
+if prec is not None:
+    art["precision_mean_bits"] = round(float(prec.mean()), 2)
+    art["precision_min_bits"] = round(float(prec.min()), 2)
+with open("BOOT_r04.json", "w") as f:
+    json.dump(art, f, indent=1)
+print("wrote BOOT_r04.json")
