@@ -13,7 +13,9 @@ keys (tests/test_weval.py).
 from __future__ import annotations
 
 import dataclasses
+import functools
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -24,6 +26,11 @@ from matrix_fhe_tpu.fast.wckks import (WideCKKSContext, _auto_index,
                                        decompose_ks, ks_mac)
 
 
+@functools.partial(
+    jax.tree_util.register_dataclass,
+    data_fields=["vec"],
+    meta_fields=["n1", "log_dimensions"],
+)
 @dataclasses.dataclass(frozen=True)
 class WideLinearTransformation:
     """Wide plain-domain mirror of circuits/lintrans.LinearTransformation."""
