@@ -161,19 +161,20 @@ FAST_N14 = fast_parameters_literal(14)
 # (45-bit) path below.
 
 
-# -- wide-path (45/55-bit) bootstrapping --------------------------------------
-# Reference-grade chains (default_parameters.go:25-40 shapes, capped at
-# 55-bit since the wide kernels cover [2^41, 1.5*2^55)): 45-bit default
-# scale, 55-bit q0/mod1/C2S moduli.  45-bit primes are plentiful at every
-# degree (spacing 2N << 2^45), so these presets scale to logN 15/16 where
-# the <2^23 pool runs dry.
+# -- wide-path (41-61-bit) bootstrapping --------------------------------------
+# Reference-grade chains (default_parameters.go:25-40 shapes): the pair25
+# preset uses 45-bit default scale and 55-bit q0/mod1/C2S moduli (5-plane
+# arithmetic); the pair31 preset below uses the reference's TRUE widths —
+# 60-bit q0/mod1, 61-bit P, 58-bit C2S (6-plane arithmetic, ops/wide.py).
+# 45-bit primes are plentiful at every degree (spacing 2N << 2^45), so
+# these presets scale to logN 15/16 where the <2^23 pool runs dry.
 
 def check_wide_chain(params) -> None:
     from matrix_fhe_tpu.ops import wide as _w
     for q in list(params.q) + list(params.p or ()):
         if not _w.MIN_WIDE_MODULUS <= q < _w.MAX_WIDE_MODULUS:
             raise ValueError(
-                f"modulus {q} outside [2^41, 1.5*2^55): chain is not "
+                f"modulus {q} outside [2^41, 2^61): chain is not "
                 f"wide-path compatible (use a wide_parameters_literal preset)")
 
 
@@ -191,6 +192,33 @@ def wide_parameters_literal(log_n: int, residual_levels: int = 3,
         c2s_log_q=(55, 55, 55),
         s2c_log_q=(45, 45, 45),
         mod1_log_q=55,
+        mod1_type="cos_discrete",
+        mod1_k=16,
+        mod1_degree=30,
+        mod1_double_angle=3,
+        log_message_ratio=8,
+        log_default_scale=45,
+        ephemeral_secret_weight=sparse_weight,
+    )
+
+
+def wide61_parameters_literal(log_n: int, residual_levels: int = 5,
+                              sparse_weight: int = 32,
+                              num_p: int = 2) -> btp.ParametersLiteral:
+    """The reference's N16QP1547H192H32 widths (default_parameters.go:45-65)
+    as a wide-path literal: 60-bit q0 + 45-bit residual scale primes,
+    58-bit CoeffsToSlots, 42-bit SlotsToCoeffs, 60-bit EvalMod, 61-bit P —
+    every modulus bit-width identical to the reference set, running on the
+    pair31 (6-plane) kernels.  ``num_p`` scales the hybrid-KS digit size
+    (the reference uses 4 at logN=16)."""
+    return btp.ParametersLiteral(
+        log_n=log_n,
+        residual_log_q=(60,) + (45,) * (residual_levels - 1),
+        log_p=(61,) * num_p,
+        log_slots=None,
+        c2s_log_q=(58, 58, 58),
+        s2c_log_q=(42, 42, 42),
+        mod1_log_q=60,
         mod1_type="cos_discrete",
         mod1_k=16,
         mod1_degree=30,

@@ -8,8 +8,11 @@ flagship mul+relin+rescale step (SURVEY.md §3.3), all on the wide int32
 kernels (ops/wide.py, ops/wide_ntt.py).
 
 Key-switch MACs run lazily in plane space: each digit contributes one
-5x5-plane schoolbook product; the per-digit partial sums renormalize every
-8 digits (wide.mac_planes bound) and convert to pairs once per output poly.
+PxP-plane schoolbook product; the per-digit partial sums renormalize every
+``wide.mac_period`` digits and convert to pairs once per output poly.
+Bootstrapping-grade sets with 56/60/61-bit primes run in the pair31 mode
+(6 planes, default_parameters.go:25-40 shapes); the mode is uniform across
+the context's rings (wide.use_pair31 over q and p together).
 """
 
 from __future__ import annotations
@@ -63,13 +66,14 @@ class WideCKKSContext:
                 f"at_level({level}) above the built level {self.level}")
         Q = list(self.ring_q.moduli_tuple[: level + 1])
         P = list(self.ring_p.moduli_tuple)
-        dec = wrns.gen_wide_decomposer(Q, P)
+        nplanes = self.ring_q.tabs.nplanes
+        dec = wrns.gen_wide_decomposer(Q, P, nplanes)
         D = dec.num_digits
         return dataclasses.replace(
             self,
             ring_q=self.ring_q.at_level(level),
             dec=dec,
-            mdc=wrns.gen_wide_moddown_constants(Q, P),
+            mdc=wrns.gen_wide_moddown_constants(Q, P, nplanes),
             rlk_q=self.rlk_q[:D, :, :, : level + 1, :],
             rlk_p=self.rlk_p[:D],
             gk_q=None if self.gk_q is None
@@ -84,7 +88,9 @@ def _convert_gadget(params, gadget) -> tuple[np.ndarray, np.ndarray]:
     up = params.ring_p
     gq = np.asarray(uq.imform(gadget.q))
     gp = np.asarray(up.imform(gadget.p))
-    return (wide.pack_pair(gq, params.q), wide.pack_pair(gp, params.p))
+    pair31 = wide.use_pair31(list(params.q) + list(params.p))
+    return (wide.pack_pair(gq, params.q, pair31),
+            wide.pack_pair(gp, params.p, pair31))
 
 
 def make_context(params, rlk, gks=None, rescale_limbs: int = 1
@@ -93,8 +99,10 @@ def make_context(params, rlk, gks=None, rescale_limbs: int = 1
     and optional galois keys {gal_el: GaloisKey} (keys converted
     Montgomery->plain, packed as pairs)."""
     Q, P = list(params.q), list(params.p)
-    ring_q = wring.new_wide_ring(params.n, Q)
-    ring_p = wring.new_wide_ring(params.n, P)
+    pair31 = wide.use_pair31(Q + P)
+    nplanes = 6 if pair31 else 5
+    ring_q = wring.new_wide_ring(params.n, Q, pair31)
+    ring_p = wring.new_wide_ring(params.n, P, pair31)
 
     rlk_q, rlk_p = _convert_gadget(params, rlk.gadget)
     gal_els: tuple[int, ...] = ()
@@ -106,21 +114,29 @@ def make_context(params, rlk, gks=None, rescale_limbs: int = 1
         gk_p = jnp.asarray(np.stack([c[1] for c in conv]))
     return WideCKKSContext(
         ring_q=ring_q, ring_p=ring_p,
-        dec=wrns.gen_wide_decomposer(Q, P),
-        mdc=wrns.gen_wide_moddown_constants(Q, P),
+        dec=wrns.gen_wide_decomposer(Q, P, nplanes),
+        mdc=wrns.gen_wide_moddown_constants(Q, P, nplanes),
         rlk_q=jnp.asarray(rlk_q), rlk_p=jnp.asarray(rlk_p),
         gk_q=gk_q, gk_p=gk_p,
         rescale_limbs=rescale_limbs, gal_els=gal_els,
     )
 
 
+PN14QP438_Q = (0x80000000080001, 0x2000000A0001, 0x2000000E0001,
+               0x2000001D0001, 0x1FFFFFCF0001, 0x1FFFFFC20001,
+               0x200000440001)
+PN14QP438_P = (0x80000000130001, 0x7FFFFFFFE90001)
+
+
 def make_synthetic_context(logn: int, num_q: int, num_p: int,
                            q_bits=(55,) + (45,) * 32, p_bits=55,
                            rescale_limbs: int = 1, seed: int = 0,
-                           num_rot: int = 0):
+                           num_rot: int = 0, moduli=None):
     """Wide context + uniform-random operands for throughput benchmarking
-    (PN14QP438-shaped by default).  Timing is data-independent; correctness
-    is pinned separately (tests/test_wring.py) bit-exact vs the u64 path."""
+    (PN14QP438-shaped by default; pass ``moduli=(Q, P)`` — e.g.
+    (PN14QP438_Q, PN14QP438_P) — for an exact reference ladder).  Timing is
+    data-independent; correctness is pinned separately (tests/test_wring.py,
+    on the exact PN14QP438 primes) bit-exact vs the u64 path."""
     from matrix_fhe_tpu.utils import primes as pr
 
     n = 1 << logn
@@ -152,19 +168,25 @@ def make_synthetic_context(logn: int, num_q: int, num_p: int,
                 used.add(p)
                 return p
 
-    Q = [next_prime(q_bits[i]) for i in range(num_q)]
-    P = [next_prime(p_bits if isinstance(p_bits, int) else p_bits[i])
-         for i in range(num_p)]
-    ring_q = wring.new_wide_ring(n, Q)
-    ring_p = wring.new_wide_ring(n, P)
-    dec = wrns.gen_wide_decomposer(Q, P)
+    if moduli is not None:
+        Q, P = [int(q) for q in moduli[0]], [int(p) for p in moduli[1]]
+        num_q, num_p = len(Q), len(P)
+    else:
+        Q = [next_prime(q_bits[i]) for i in range(num_q)]
+        P = [next_prime(p_bits if isinstance(p_bits, int) else p_bits[i])
+             for i in range(num_p)]
+    pair31 = wide.use_pair31(Q + P)
+    nplanes = 6 if pair31 else 5
+    ring_q = wring.new_wide_ring(n, Q, pair31)
+    ring_p = wring.new_wide_ring(n, P, pair31)
+    dec = wrns.gen_wide_decomposer(Q, P, nplanes)
 
     rng = np.random.default_rng(seed)
 
     def unif(shape, mods):
         x = np.stack([rng.integers(0, q, shape[:-2] + (shape[-1],),
                                    dtype=np.uint64) for q in mods], axis=-2)
-        return jnp.asarray(wide.pack_pair(x, mods))
+        return jnp.asarray(wide.pack_pair(x, mods, pair31))
 
     gal_els: tuple[int, ...] = ()
     gk_q = gk_p = None
@@ -176,7 +198,7 @@ def make_synthetic_context(logn: int, num_q: int, num_p: int,
                           for _ in range(num_rot)])
     ctx = WideCKKSContext(
         ring_q=ring_q, ring_p=ring_p, dec=dec,
-        mdc=wrns.gen_wide_moddown_constants(Q, P),
+        mdc=wrns.gen_wide_moddown_constants(Q, P, nplanes),
         rlk_q=unif((dec.num_digits, 2, num_q, n), Q),
         rlk_p=unif((dec.num_digits, 2, num_p, n), P),
         gk_q=gk_q, gk_p=gk_p,
@@ -219,14 +241,16 @@ def ks_mac(ctx: WideCKKSContext, key_q, key_p, yq, yp):
     pairs in the QP basis, canonical centered."""
     def run(key, y, ring):
         t = ring.tabs
+        period = wide.mac_period(t)
         outs = []
         for row in range(2):
             acc = None
             for d in range(ctx.dec.num_digits):
-                pa = wide.pair_to_planes(y[..., d, 0, :, :], y[..., d, 1, :, :])
-                pb = wide.pair_to_planes(key[d, row, 0], key[d, row, 1])
+                pa = wide.pair_to_planes(y[..., d, 0, :, :],
+                                         y[..., d, 1, :, :], t)
+                pb = wide.pair_to_planes(key[d, row, 0], key[d, row, 1], t)
                 acc = wide.mac_planes(acc, pa, pb, t)
-                if (d + 1) % 8 == 0 and d + 1 < ctx.dec.num_digits:
+                if (d + 1) % period == 0 and d + 1 < ctx.dec.num_digits:
                     acc = wide.fold_excess(acc, t)
             acc = wide.fold_excess(acc, t)
             lo, hi = wide.planes_to_pair(acc, t)

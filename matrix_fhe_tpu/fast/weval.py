@@ -29,17 +29,24 @@ from matrix_fhe_tpu.rlwe.elements import Ciphertext, Plaintext
 from matrix_fhe_tpu.schemes import ckks
 
 
+def _pair31(params) -> bool:
+    """The context mode rule over the FULL modulus set (q and p)."""
+    return wide.use_pair31(list(params.q) + list(params.p or ()))
+
+
 def ct_to_wide(ct: Ciphertext, params) -> Ciphertext:
     lq = ct.value[0].shape[-2]
+    m = _pair31(params)
     return ct.with_value(tuple(
-        jnp.asarray(wide.pack_pair(np.asarray(v), params.q[:lq]))
+        jnp.asarray(wide.pack_pair(np.asarray(v), params.q[:lq], m))
         for v in ct.value))
 
 
 def ct_to_u64(ct: Ciphertext, params) -> Ciphertext:
     lq = ct.value[0].shape[-2]
+    m = _pair31(params)
     return ct.with_value(tuple(
-        jnp.asarray(wide.unpack_pair(np.asarray(v), params.q[:lq]))
+        jnp.asarray(wide.unpack_pair(np.asarray(v), params.q[:lq], m))
         for v in ct.value))
 
 
@@ -56,14 +63,16 @@ class WideEncoder:
         lq = pt.value.shape[-2]
         return Plaintext(
             value=jnp.asarray(wide.pack_pair(np.asarray(pt.value),
-                                             self.params.q[:lq])),
+                                             self.params.q[:lq],
+                                             _pair31(self.params))),
             metadata=pt.metadata)
 
     def decode(self, pt: Plaintext) -> np.ndarray:
         lq = pt.value.shape[-2]
         return self._u64.decode(Plaintext(
             value=jnp.asarray(wide.unpack_pair(np.asarray(pt.value),
-                                               self.params.q[:lq])),
+                                               self.params.q[:lq],
+                                               _pair31(self.params))),
             metadata=pt.metadata))
 
     def embed_qp(self, values, level_q, level_p=None, scale=None):
@@ -113,8 +122,9 @@ class WideEvaluator(ckks.Evaluator):
         qs = self.params.q[: level + 1]
         a0 = np.array(s0, dtype=np.uint64)[:, None]
         a1 = np.array(s1, dtype=np.uint64)[:, None]
-        return (jnp.asarray(wide.pack_pair(a0, qs)),
-                jnp.asarray(wide.pack_pair(a1, qs)))
+        m = _pair31(self.params)
+        return (jnp.asarray(wide.pack_pair(a0, qs, m)),
+                jnp.asarray(wide.pack_pair(a1, qs, m)))
 
     # -- rescale -------------------------------------------------------------
     def rescale(self, a: Ciphertext) -> Ciphertext:
@@ -233,7 +243,7 @@ class WideEvaluator(ckks.Evaluator):
             coeff = rq0.intt(v)  # [.., 2, 1, N] pair mod q0, centered
             lo, hi = wide.center_lift(rq0.tabs, coeff[..., 0, 0, :],
                                       coeff[..., 1, 0, :])
-            lifted = wrns.spread_value(lo, hi, rq.tabs)
+            lifted = wrns.spread_value(lo, hi, rq.tabs, rq0.tabs)
             vals.append(rq.ntt(lifted))
         return ct.with_value(tuple(vals))
 

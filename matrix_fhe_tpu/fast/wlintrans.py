@@ -47,12 +47,13 @@ def convert_lintrans(params, lt: lt_mod.LinearTransformation
                      ) -> WideLinearTransformation:
     """u64 (Montgomery/NTT) encoded diagonals -> plain-domain wide pairs."""
     uq, up = params.ring_q, params.ring_p
+    m = wide.use_pair31(list(params.q) + list(params.p or ()))
     vec = {}
     for k, (ptq, ptp) in lt.vec.items():
         lq = ptq.shape[-2]
         q_pair = wide.pack_pair(
-            np.asarray(uq.at_level(lq - 1).imform(ptq)), params.q[:lq])
-        p_pair = wide.pack_pair(np.asarray(up.imform(ptp)), params.p)
+            np.asarray(uq.at_level(lq - 1).imform(ptq)), params.q[:lq], m)
+        p_pair = wide.pack_pair(np.asarray(up.imform(ptp)), params.p, m)
         vec[k] = (jnp.asarray(q_pair), jnp.asarray(p_pair))
     return WideLinearTransformation(
         n1=lt.n1, log_dimensions=lt.log_dimensions, vec=vec)

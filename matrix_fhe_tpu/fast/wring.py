@@ -72,10 +72,7 @@ class WideRing:
         """View of limbs [start, end) (decomposer digit bands)."""
         s = slice(start, end)
         nt = self.ntt_tabs
-        t = self.tabs
-        tb = wide.WideTables(
-            moduli=t.moduli[s], q_dig=t.q_dig[s], fold=t.fold[s],
-            q_lo=t.q_lo[s], q_hi=t.q_hi[s], qinv_f=t.qinv_f[s])
+        tb = self.tabs.limb_slice(s)
         sliced = wide_ntt.WideNTTTables(
             n=nt.n, rows=nt.rows, cols=nt.cols,
             a7=nt.a7[s], b7=nt.b7[s], tw=nt.tw[:, s],
@@ -141,7 +138,8 @@ class WideRing:
         else:
             vals = np.asarray(scalar, dtype=np.uint64)
         del shape  # broadcasting over [.., 2, L, N] handles the coeff axis
-        pair = wide.pack_pair(vals[:, None], self.moduli_tuple)  # [2, L, 1]
+        pair = wide.pack_pair(vals[:, None], self.moduli_tuple,
+                              pair31=self.tabs.shift == 31)  # [2, L, 1]
         return jnp.asarray(pair)
 
     # -- NTT -----------------------------------------------------------------
@@ -156,13 +154,16 @@ class WideRing:
                          dtype=jnp.int32)
 
 
-def new_wide_ring(n: int, moduli) -> WideRing:
+def new_wide_ring(n: int, moduli, pair31: bool | None = None) -> WideRing:
+    """``pair31`` selects the 6-plane/base-2^31 mode (61-bit support); None
+    derives it from ``moduli``.  Context builders must pass the mode of the
+    FULL parameter set (q and p) so every ring of one context matches."""
     if n < 16 or n & (n - 1):
         raise ValueError("N must be a power of two >= 16")
     moduli = [int(q) for q in moduli]
     if len(set(moduli)) != len(moduli):
         raise ValueError("moduli must be distinct")
-    ntt_tabs = wide_ntt.build_tables(n, moduli)
+    ntt_tabs = wide_ntt.build_tables(n, moduli, pair31=pair31)
     return WideRing(
         n=n, nth_root=2 * n, ring_type="standard",
         moduli_tuple=tuple(moduli), tabs=ntt_tabs.wt, ntt_tabs=ntt_tabs)

@@ -27,19 +27,24 @@ from matrix_fhe_tpu.fast.wring import WideRing
 
 
 def _is_neg(lo: jnp.ndarray, hi: jnp.ndarray) -> jnp.ndarray:
-    """Exact sign of a pair value (lo balanced 25-bit, value = lo+2^25 hi)."""
+    """Exact sign of a normalized pair value (either base)."""
     return (hi < 0) | ((hi == 0) & (lo < 0))
 
 
 def spread_value(lo: jnp.ndarray, hi: jnp.ndarray,
-                 dst_tabs: wide.WideTables) -> jnp.ndarray:
-    """Reduce an integer (centered pair, |x| < 2^56, given WITHOUT a limb
-    axis: [.., N]) into every destination modulus: -> pairs [.., 2, LD, N].
+                 dst_tabs: wide.WideTables,
+                 src_tabs: wide.WideTables | None = None) -> jnp.ndarray:
+    """Reduce an integer (centered pair within mode capacity, given WITHOUT
+    a limb axis: [.., N]) into every destination modulus: -> pairs
+    [.., 2, LD, N].
 
     The base-2^12 digit planes of the value are modulus-independent; one
     planes_to_pair against the destination tables reduces them mod every
-    q_j at once (broadcast [.., 1, N] against the [LD, 1] tables)."""
-    p = wide.pair_to_planes(lo[..., None, :], hi[..., None, :])
+    q_j at once (broadcast [.., 1, N] against the [LD, 1] tables).  The
+    PAIR is interpreted in ``src_tabs``'s base (defaults to dst — contexts
+    are mode-uniform, so the two agree)."""
+    p = wide.pair_to_planes(lo[..., None, :], hi[..., None, :],
+                            src_tabs if src_tabs is not None else dst_tabs)
     p = wide.fold_excess(p, dst_tabs)
     out_lo, out_hi = wide.planes_to_pair(p, dst_tabs)
     return jnp.stack([out_lo, out_hi], axis=-3)
@@ -66,9 +71,7 @@ def div_round_by_last_modulus(ring: WideRing, p: jnp.ndarray) -> jnp.ndarray:
     q_hi = band.tabs.q_hi[0]
     lo2 = jnp.where(neg, t_lo + q_lo, t_lo)
     hi2 = jnp.where(neg, t_hi + q_hi, t_hi)
-    b25 = jnp.int32(1 << 24)
-    lo_b = ((lo2 + b25) & 0x1FFFFFF) - b25
-    hi2 = hi2 + ((lo2 - lo_b) >> 25)
+    lo_b, hi2 = wide._renorm(lo2, hi2, band.tabs.shift)
 
     sub = ring.at_level(lvl - 1)
     t_red = spread_value(lo_b[..., 0, :], hi2[..., 0, :], sub.tabs)
@@ -111,23 +114,25 @@ class WideModUpConstants:
     src_q_f64: jnp.ndarray     # f64 [LQ]
 
 
-def gen_wide_modup_constants(Q: list[int], D: list[int]) -> WideModUpConstants:
+def gen_wide_modup_constants(Q: list[int], D: list[int],
+                             nplanes: int = 5) -> WideModUpConstants:
     big_q = 1
     for q in Q:
         big_q *= q
     qhalf = big_q >> 1
 
     def digs(vals, mods):
-        return np.array([wide._digits12(wide._center(int(v), q))
+        return np.array([wide._digits12(wide._center(int(v), q), nplanes)
                          for v, q in zip(vals, mods)], np.int32)
 
     inv = digs([pow((big_q // qi) % qi, qi - 2, qi) for qi in Q], Q)
     cij = np.stack([digs([(big_q // qi) % dj for dj in D], D) for qi in Q])
     negq = digs([(-big_q) % dj for dj in D], D)
+    pair31 = nplanes == 6
     qh_src = wide.pack_pair(
-        np.array([qhalf % q for q in Q], np.uint64)[:, None], Q)
+        np.array([qhalf % q for q in Q], np.uint64)[:, None], Q, pair31)
     qh_dst = wide.pack_pair(
-        np.array([qhalf % d for d in D], np.uint64)[:, None], D)
+        np.array([qhalf % d for d in D], np.uint64)[:, None], D, pair31)
     return WideModUpConstants(
         lq=len(Q), ld=len(D),
         inv_planes=jnp.asarray(np.moveaxis(inv, 1, 0)[..., None]),  # [5,LQ,1]
@@ -148,9 +153,10 @@ def mod_up(x: jnp.ndarray, muc: WideModUpConstants, src: WideRing,
     accumulation uses the centered digits with the sign count folded into
     v (an exact integer identity)."""
     st = src.tabs
+    P = st.nplanes
     if centered:
         x = wide.add(st, x, muc.qhalf_src)
-    y = wide.mulmod_planes(st, x, [muc.inv_planes[k] for k in range(5)])
+    y = wide.mulmod_planes(st, x, [muc.inv_planes[k] for k in range(P)])
     y_lo, y_hi = y[..., 0, :, :], y[..., 1, :, :]
     neg = _is_neg(y_lo, y_hi)
 
@@ -160,21 +166,23 @@ def mod_up(x: jnp.ndarray, muc: WideModUpConstants, src: WideRing,
     vf = jnp.zeros(y.shape[:-3] + (y.shape[-1],), dtype=jnp.float64)
     for i in range(muc.lq):
         yc = (y_lo[..., i, :].astype(jnp.float64)
-              + y_hi[..., i, :].astype(jnp.float64) * 33554432.0)
+              + y_hi[..., i, :].astype(jnp.float64) * float(1 << st.shift))
         yc = yc + jnp.where(neg[..., i, :], muc.src_q_f64[i], 0.0)
         vf = vf + yc / muc.src_q_f64[i]
     v = vf.astype(jnp.int32) - jnp.sum(neg, axis=-2, dtype=jnp.int32)
 
     dt = dst.tabs
     acc = None
+    period = wide.mac_period(dt)
     for i in range(muc.lq):
-        pa = wide.pair_to_planes(y_lo[..., i:i + 1, :], y_hi[..., i:i + 1, :])
-        pb = [muc.cij_planes[i, k] for k in range(5)]
+        pa = wide.pair_to_planes(y_lo[..., i:i + 1, :], y_hi[..., i:i + 1, :],
+                                 st)
+        pb = [muc.cij_planes[i, k] for k in range(dt.nplanes)]
         acc = wide.mac_planes(acc, pa, pb, dt)
-        if (i + 1) % 8 == 0 and i + 1 < muc.lq:
+        if (i + 1) % period == 0 and i + 1 < muc.lq:
             acc = wide.fold_excess(acc, dt)
     # v * (-Q mod dj): |v| <= LQ so the plane products are tiny
-    for k in range(5):
+    for k in range(dt.nplanes):
         acc[k] = acc[k] + v[..., None, :] * muc.negq_planes[k]
     acc = wide.fold_excess(acc, dt)
     lo, hi = wide.planes_to_pair(acc, dt)
@@ -195,17 +203,17 @@ class WideModDownConstants:
     pinv_planes: jnp.ndarray  # int32 [5, LQ, 1]  digits of P^{-1} mod qi
 
 
-def gen_wide_moddown_constants(Q: list[int], P: list[int]
-                               ) -> WideModDownConstants:
+def gen_wide_moddown_constants(Q: list[int], P: list[int],
+                               nplanes: int = 5) -> WideModDownConstants:
     digs = []
     for qi in Q:
         acc = 1
         for pj in P:
             acc = acc * pow(pj, qi - 2, qi) % qi
-        digs.append(wide._digits12(wide._center(acc, qi)))
+        digs.append(wide._digits12(wide._center(acc, qi), nplanes))
     planes = np.moveaxis(np.array(digs, np.int32), 1, 0)[..., None]
     return WideModDownConstants(
-        modup_p_to_q=gen_wide_modup_constants(P, Q),
+        modup_p_to_q=gen_wide_modup_constants(P, Q, nplanes),
         pinv_planes=jnp.asarray(planes))
 
 
@@ -220,7 +228,8 @@ def mod_down(xq: jnp.ndarray, xp: jnp.ndarray, mdc: WideModDownConstants,
         lift = ring_q.ntt(lift)
     diff = ring_q.sub(xq, lift)
     return wide.mulmod_planes(ring_q.tabs, diff,
-                              [mdc.pinv_planes[k] for k in range(5)])
+                              [mdc.pinv_planes[k]
+                               for k in range(ring_q.tabs.nplanes)])
 
 
 # ---------------------------------------------------------------------------
@@ -241,14 +250,16 @@ class WideDecomposer:
     lp: int
 
 
-def gen_wide_decomposer(Q: list[int], P: list[int]) -> WideDecomposer:
+def gen_wide_decomposer(Q: list[int], P: list[int],
+                        nplanes: int = 5) -> WideDecomposer:
     alpha = len(P)
     nd = -(-len(Q) // alpha)
     mucs = []
     for i in range(nd):
         qd = Q[i * alpha: min((i + 1) * alpha, len(Q))]
         mucs.append(None if len(qd) == 1
-                    else gen_wide_modup_constants(qd, list(Q) + list(P)))
+                    else gen_wide_modup_constants(qd, list(Q) + list(P),
+                                                  nplanes))
     return WideDecomposer(mucs=tuple(mucs), alpha=alpha, num_digits=nd,
                           lq=len(Q), lp=len(P))
 
@@ -270,8 +281,9 @@ def _lift_digit_coeff(dec: WideDecomposer, digit: int, x_inv: jnp.ndarray,
         lo, hi = wide.center_lift(ring_q.limb_band(start, end).tabs,
                                   x_inv[..., 0, start, :],
                                   x_inv[..., 1, start, :])
-        yq = spread_value(lo, hi, ring_q.tabs)
-        yp = spread_value(lo, hi, ring_p.tabs)
+        band_tabs = ring_q.limb_band(start, end).tabs
+        yq = spread_value(lo, hi, ring_q.tabs, band_tabs)
+        yp = spread_value(lo, hi, ring_p.tabs, band_tabs)
     else:
         src = x_inv[..., :, start:end, :]
         both = mod_up(src, muc, ring_q.limb_band(start, end),
@@ -296,8 +308,9 @@ def _concat_rings(rq: WideRing, rp: WideRing) -> WideRing:
     """Moduli-only concatenation (as a mod_up destination)."""
     moduli = rq.moduli_tuple + rp.moduli_tuple
     t1, t2 = rq.tabs, rp.tabs
+    assert t1.shift == t2.shift, "q/p rings of one context must share a mode"
     tb = wide.WideTables(
-        moduli=moduli,
+        moduli=moduli, nplanes=t1.nplanes, shift=t1.shift,
         q_dig=jnp.concatenate([t1.q_dig, t2.q_dig]),
         fold=jnp.concatenate([t1.fold, t2.fold]),
         q_lo=jnp.concatenate([t1.q_lo, t2.q_lo]),

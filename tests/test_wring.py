@@ -18,13 +18,24 @@ from matrix_fhe_tpu.schemes import ckks
 from matrix_fhe_tpu.utils import primes as pr
 
 
-@pytest.fixture(scope="module")
-def setup():
+@pytest.fixture(scope="module", params=["pair25", "pair31"])
+def setup(request):
     logn, n = 8, 256
-    g55 = pr.NTTFriendlyPrimesGenerator(55, 2 * n)
-    g45 = pr.NTTFriendlyPrimesGenerator(45, 2 * n)
-    Q = [g55.next_alternating_prime()] + g45.next_alternating_primes(5)
-    P = g55.next_alternating_primes(2)
+    if request.param == "pair25":
+        # the EXACT PN14QP438 ladder (schemes/ckks/example_parameters.go:
+        # 22-30, 70-72) — all primes are 1 mod 2^15, so they are
+        # NTT-friendly at this test's N=256 too (512 | 2^15)
+        Q = [0x80000000080001, 0x2000000A0001, 0x2000000E0001,
+             0x2000001D0001, 0x1FFFFFCF0001, 0x1FFFFFC20001]
+        P = [0x80000000130001, 0x7FFFFFFFE90001]
+    else:
+        # bootstrapping-set widths: 60-bit q0, 61-bit P
+        # (circuits/ckks/bootstrapping/default_parameters.go:25-40)
+        g60 = pr.NTTFriendlyPrimesGenerator(60, 2 * n)
+        g61 = pr.NTTFriendlyPrimesGenerator(61, 2 * n)
+        g45 = pr.NTTFriendlyPrimesGenerator(45, 2 * n)
+        Q = [g60.next_alternating_prime()] + g45.next_alternating_primes(5)
+        P = g61.next_alternating_primes(2)
     params = ckks.new_parameters(ckks.CKKSParametersLiteral(
         logn=logn, q=tuple(Q), p=tuple(P), log_default_scale=45))
     key = jax.random.key(0)
