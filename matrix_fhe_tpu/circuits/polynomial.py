@@ -113,10 +113,26 @@ class SimOp:
 
 class CKKSSim:
     """circuits/ckks/polynomial/polynomial_evaluator_sim.go (PREC64 mode,
-    one level per rescaling)."""
+    one level per rescaling).
+
+    A *sim* pre-computes the level/scale every sub-polynomial must hit so
+    the baby-steps line up.  Scheme bindings supply their own sim (mod-T
+    scales for BGV: circuits/bgv_circuits.BGVSim) plus the coefficient
+    hooks below."""
+
+    #: numpy dtype for slot-scattered coefficient vectors
+    coeff_dtype = complex
 
     def __init__(self, params):
         self.params = params
+
+    def coeffs(self, poly) -> list:
+        """Per-degree coefficient list in the scheme's coefficient domain."""
+        return poly.coeffs_complex()
+
+    def div_scale(self, a: Fraction, b: Fraction) -> Fraction:
+        """Scale ratio (mod-T inverse for BGV)."""
+        return a / b
 
     def polynomial_depth(self, degree: int) -> int:
         return degree.bit_length() - 1
@@ -276,7 +292,8 @@ def _recurse_ps(log_split: int, target_level: int, p: PSPoly, pb, output_scale,
 # ---------------------------------------------------------------------------
 
 def evaluate(ev, enc, ct_or_pb, poly,
-             target_scale: Fraction, slots: int | None = None) -> Ciphertext:
+             target_scale: Fraction, slots: int | None = None,
+             sim=None) -> Ciphertext:
     """Evaluate (polynomial_evaluator.go:29-96): generic P-S evaluation.
 
     ``ev``: scheme evaluator; ``enc``: scheme encoder; ``ct_or_pb``: input
@@ -284,7 +301,9 @@ def evaluate(ev, enc, ct_or_pb, poly,
     ``bn.Polynomial`` or a slot-mapped ``PolynomialVector``
     (polynomial_evaluator.go vectorized path).  For Chebyshev-basis
     polynomials the caller must first apply the change of basis
-    ct' = scalar * ct + constant (poly.change_of_basis())."""
+    ct' = scalar * ct + constant (poly.change_of_basis()).  ``sim`` is the
+    scheme's simulated evaluator (default: CKKSSim; BGV bindings pass
+    bgv_circuits.BGVSim for mod-T scale tracking)."""
     params = ev.params
     if isinstance(poly, PolynomialVector):
         polys, mapping = poly.value, poly.mapping
@@ -305,14 +324,15 @@ def evaluate(ev, enc, ct_or_pb, poly,
         if not (even or odd) or (i % 2 == 0 and even) or (i % 2 == 1 and odd):
             pb.gen_power(i, ev)
 
-    sim = CKKSSim(params)
+    if sim is None:
+        sim = CKKSSim(params)
     ps_list = [ps_decompose(p, pb.value[1].level, pb.value[1].scale,
                             Fraction(target_scale), sim) for p in polys]
-    return _evaluate_ps(ev, enc, ps_list, pb, mapping, slots)
+    return _evaluate_ps(ev, enc, ps_list, pb, mapping, slots, sim)
 
 
 def _evaluate_ps(ev, enc, ps_list: list, pb: PowerBasis,
-                 mapping, slots) -> Ciphertext:
+                 mapping, slots, sim) -> Ciphertext:
     """EvaluatePatersonStockmeyerPolynomialVector (:101-160).  ``ps_list``
     holds one (structurally identical) decomposition per vector entry."""
     split = len(ps_list[0].value)
@@ -321,7 +341,7 @@ def _evaluate_ps(ev, enc, ps_list: list, pb: PowerBasis,
         sub = ps_list[0].value[i]
         baby.append([sub.degree if sub.degree > 0 else 0,
                      _evaluate_baby(ev, enc, [ps.value[i] for ps in ps_list],
-                                    pb, mapping, slots)])
+                                    pb, mapping, slots, sim)])
     baby.reverse()  # ascending degree order
 
     while len(baby) > 1:
@@ -365,7 +385,7 @@ def _eval_monomial(ev, a: Ciphertext, b: Ciphertext, xpow: Ciphertext) -> Cipher
 
 
 def _evaluate_baby(ev, enc, subs: list, pb: PowerBasis,
-                   mapping, slots) -> Ciphertext:
+                   mapping, slots, sim) -> Ciphertext:
     """EvaluatePolynomialVectorFromPowerBasis (:258-340): res = sum c_k X^k
     evaluated at (sub.level, sub.scale).  With a slot ``mapping``, c_k is a
     per-slot vector scattering each sub-polynomial's coefficient onto its
@@ -375,7 +395,7 @@ def _evaluate_baby(ev, enc, subs: list, pb: PowerBasis,
     params = ev.params
     sub = subs[0]
     target_level, target_scale = sub.level, sub.scale
-    css = [s.poly.coeffs_complex() for s in subs]
+    css = [sim.coeffs(s.poly) for s in subs]
     x1 = pb.value[1]
 
     zero = jnp.zeros(x1.value[0].shape[:-2] + (target_level + 1, params.n),
@@ -384,12 +404,12 @@ def _evaluate_baby(ev, enc, subs: list, pb: PowerBasis,
                      metadata=x1.metadata).with_metadata(scale=target_scale)
 
     def coeff(k):
-        vals = [cs[k] if k < len(cs) else 0j for cs in css]
+        vals = [cs[k] if k < len(cs) else type(cs[0])(0) for cs in css]
         if all(c == 0 for c in vals):
             return None
         if mapping is None:
             return vals[0]
-        v = np.zeros(slots, dtype=complex)
+        v = np.zeros(slots, dtype=sim.coeff_dtype)
         for i, idx in mapping.items():
             v[np.asarray(idx, dtype=int)] = vals[i]
         return v
@@ -411,7 +431,7 @@ def _evaluate_baby(ev, enc, subs: list, pb: PowerBasis,
         if np.ndim(ck) == 0:
             res = ev.mul_const_then_add(xk, ck, res)
         else:
-            pt_scale = target_scale / xk.scale
+            pt_scale = sim.div_scale(target_scale, xk.scale)
             pt = enc.encode(np.asarray(ck), level=min(xk.level, target_level),
                             scale=pt_scale)
             prod = ev.mul_plain(ev._drop_level(xk, target_level), pt)

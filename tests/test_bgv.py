@@ -139,6 +139,35 @@ def test_bgv_lintrans(ctx):
         np.testing.assert_array_equal(got.reshape(2, cols), want)
 
 
+def test_bgv_polynomial_ps():
+    """Paterson-Stockmeyer integer polynomial, BGV and BFV tensoring
+    (circuits/bgv/polynomial/polynomial_evaluator.go parity): degree 7 in
+    3 levels (BGV) / 0 levels (BFV), exact mod T."""
+    from matrix_fhe_tpu.circuits import bgv_circuits
+    params = bgv.new_parameters(bgv.BGVParametersLiteral(
+        logn=6, t=T, logq=(45,) + (40,) * 5, logp=(50,)))
+    enc = bgv.Encoder(params)
+    sk = K.gen_secret_key(jax.random.key(0), params)
+    rlk = K.gen_relinearization_key(jax.random.key(1), params, sk)
+    rng = np.random.default_rng(11)
+    v = rng.integers(0, T, params.n, dtype=np.uint64)
+    coeffs = [5, 3, 0, 1, 7, 0, 2, 4]          # degree 7
+    want = np.zeros(params.n, dtype=object)
+    for c in reversed(coeffs):
+        want = (want * v.astype(object) + c) % T
+
+    for invariant in (False, True):
+        ev = bgv.Evaluator(params, rlk=rlk, scale_invariant=invariant)
+        ct = encryptor.encrypt(jax.random.key(7), params, sk, enc.encode(v))
+        out = bgv_circuits.evaluate_polynomial_ps(ev, enc, ct, coeffs)
+        got = enc.decode(decryptor.decrypt(params, sk, out))
+        np.testing.assert_array_equal(
+            got.astype(object), want,
+            err_msg=f"scale_invariant={invariant}")
+        if not invariant:
+            assert out.level <= ct.level - 3  # log-depth consumption
+
+
 def test_bgv_polynomial(ctx):
     from matrix_fhe_tpu.circuits import bgv_circuits
     params, enc, sk, rlk = ctx
