@@ -13,23 +13,30 @@ matching the structure of the math (everything else is limb-local):
 
 1. **Hybrid-KS decomposition** (one ``all_gather``): every digit's source
    band must reach every limb shard — the gather of the INTT'd degree-2
-   limb rows is the fundamental communication of key-switching.
-2. **ModDown**: none — the P basis is tiny (this module fixes |P| = 1) and
-   its lift is recomputed replicated on every shard.
+   limb rows is the fundamental communication of key-switching.  With
+   alpha = num_p > 1 (real hybrid digits, ring/basis_extension.go:381-502)
+   the schedule DOES NOT change: the gathered rows feed each shard's local
+   per-digit approximate ModUp (``frns.mod_up`` with destination-row
+   constants sharded over the mesh), so the alpha-limb digit lift costs no
+   extra collective.
+2. **ModDown**: none — the P basis is replicated (LP limbs on every shard)
+   and its lift is recomputed redundantly; the destination-row constants
+   are sharded.
 3. **Rescale** (one masked ``psum`` per dropped limb): the dropped limb's
    centered value is broadcast from its owner shard.
 
-So the step costs 1 all-gather + ``rescale_limbs`` psums, total; the test
-(tests/test_fast_sharded_smap.py) asserts both the collective count in the
-compiled HLO and bit-identical outputs vs the unsharded step on the 8-device
-CPU mesh.
+So the step costs 1 all-gather + ``rescale_limbs`` psums, total, for ANY
+num_p; the test (tests/test_fast_sharded_smap.py) asserts both the
+collective count in the compiled HLO and bit-identical outputs vs the
+unsharded step on the 8-device CPU mesh at num_p in {1, 2, 3}.
 
-Restrictions (demo scope): num_p == 1 (single-P hybrid KS, alpha=1 digits),
-L divisible by the mesh axis, batchless [L, N] operands.
+Remaining restrictions: L divisible by the mesh axis; operands [L, N] or
+batched [B, L, N] (vmapped over the leading axis).
 """
 
 from __future__ import annotations
 
+import dataclasses
 import functools
 
 import jax
@@ -55,26 +62,27 @@ def build_sharded_step(ctx: fckks.FastCKKSContext, mesh: Mesh,
     """Compile the limb-sharded flagship step over ``mesh``.
 
     Returns ``(fn, in_sharding)``: ``fn(c0, c1, d0, d1) -> (o0, o1)`` jitted
-    with shard_map inside; outputs keep the full [L, N] shape with the
-    dropped limbs zeroed (static shapes; slice [:L-rescale_limbs] for the
-    live rows).
+    with shard_map inside; operands are [L, N] or [B, L, N] (the batch axis
+    is vmapped).  Outputs keep the full [.., L, N] shape with the dropped
+    limbs zeroed (static shapes; slice [:L-rescale_limbs] for the live
+    rows).
     """
-    if len(ctx.ring_p.moduli_tuple) != 1:
-        raise ValueError("sharded step requires num_p == 1 (alpha=1 digits)")
     k = mesh.shape[axis]
     rq, rp = ctx.ring_q, ctx.ring_p
     L = rq.num_limbs
+    LP = rp.num_limbs
     if L % k:
         raise ValueError(f"L={L} not divisible by mesh axis {k}")
     lloc = L // k
-    D = ctx.dec.num_digits
-    assert D == L, (D, L)
+    dec = ctx.dec
+    alpha = dec.alpha
+    D = dec.num_digits
     nb = ctx.rescale_limbs
     n = rq.n
-    qp = int(rp.moduli_tuple[0])
 
     # host-side constants ----------------------------------------------------
     qs_full = np.array(rq.moduli_tuple, dtype=np.int64)
+    ps_full = np.array(rp.moduli_tuple, dtype=np.int64)
     # per dropped limb l = L-1-kk: qlinv[kk, i] = q_l^{-1} mod q_i (i < l)
     qlinv = np.zeros((nb, L), dtype=np.int32)
     half = np.zeros(nb, dtype=np.int32)
@@ -88,14 +96,48 @@ def build_sharded_step(ctx: fckks.FastCKKSContext, mesh: Mesh,
         for i in range(L):
             hmod[kk, i] = int(half[kk]) % int(qs_full[i])
 
-    # P-basis replicated ring / constants
+    # per-digit ModUp constants for alpha > 1 bands, stacked [D, ...] with
+    # the DESTINATION Q rows shardable along the limb axis.  Width-1 bands
+    # (alpha == 1, or the uneven tail) use the exact centered spread and
+    # leave zero rows here.
+    widths = [min((d + 1) * alpha, L) - d * alpha for d in range(D)]
+    inv_sd = np.zeros((D, alpha), dtype=np.int32)
+    srcq_f64 = np.ones((D, alpha), dtype=np.float64)
+    qh_src = np.zeros((D, alpha), dtype=np.int32)
+    cij_q = np.zeros((D, L, alpha), dtype=np.int32)    # dst q rows (shard)
+    cij_p = np.zeros((D, LP, alpha), dtype=np.int32)   # dst p rows (repl)
+    negq_q = np.zeros((D, L), dtype=np.int32)
+    negq_p = np.zeros((D, LP), dtype=np.int32)
+    qh_dst_q = np.zeros((D, L), dtype=np.int32)
+    qh_dst_p = np.zeros((D, LP), dtype=np.int32)
+    for d in range(D):
+        w = widths[d]
+        if w == 1:
+            continue
+        band = [int(q) for q in qs_full[d * alpha: d * alpha + w]]
+        muc = frns.gen_fast_modup_constants(
+            band, [int(q) for q in qs_full] + [int(p) for p in ps_full])
+        inv_sd[d, :w] = np.asarray(muc.qoverqi_inv_qi)
+        srcq_f64[d, :w] = np.asarray(muc.src_q_f64)
+        qh_src[d, :w] = np.asarray(muc.qhalf_mod_qi)
+        mod_dst = np.asarray(muc.qoverqi_mod_p)        # [L+LP, w]
+        cij_q[d, :, :w] = mod_dst[:L]
+        cij_p[d, :, :w] = mod_dst[L:]
+        negq_q[d] = np.asarray(muc.negq_mod_p)[:L]
+        negq_p[d] = np.asarray(muc.negq_mod_p)[L:]
+        qh_dst_q[d] = np.asarray(muc.qhalf_mod_p)[:L]
+        qh_dst_p[d] = np.asarray(muc.qhalf_mod_p)[L:]
+
     mdc = ctx.mdc
 
     def local_step(ring_l, rlk_q_l, mdc_l, qlinv_l, hmod_l, moduli_full,
+                   qinv_full, cij_q_l, negq_q_l, qh_dst_q_l,
                    c0, c1, d0, d1):
         """Per-shard body.  ring_l: FastRing pytree with LOCAL tables;
         rlk_q_l [D, 2, lloc, n]; mdc_l: ModDown constants with local Q rows;
-        qlinv_l/hmod_l [nb, lloc]; moduli_full [L] replicated."""
+        qlinv_l/hmod_l [nb, lloc]; moduli_full/qinv_full [L] replicated;
+        cij_q_l [D, lloc, alpha] / negq_q_l, qh_dst_q_l [D, lloc] the
+        digit-ModUp destination rows owned by this shard."""
         idx = jax.lax.axis_index(axis)
         gidx = idx * lloc + jnp.arange(lloc)          # global limb ids
         q_l = ring_l.moduli[:, None]
@@ -109,24 +151,60 @@ def build_sharded_step(ctx: fckks.FastCKKSContext, mesh: Mesh,
         x_inv_loc = ring_l.intt(t2)                   # [lloc, n]
         x_inv = jax.lax.all_gather(x_inv_loc, axis, axis=0, tiled=True)
 
-        qsrc = moduli_full[:, None]                   # [L, 1] int32
-        neg = x_inv >= (qsrc >> 1)                    # [L(digit), n]
-        mag = jnp.where(neg, qsrc - x_inv, x_inv)
-        # spread each digit's magnitude to the local limbs / the P limb
-        tq = fring.canon(fring.reduce_once(
-            mag[:, None, :], q_l[None], qinv_l[None]), q_l[None])
-        yq = jnp.where(neg[:, None, :] & (tq != 0), q_l[None] - tq, tq)
-        pq = jnp.int32(qp)
-        pinv = jnp.float32(1.0 / qp)
-        tp = fring.canon(fring.reduce_once(mag[:, None, :], pq, pinv), pq)
-        yp = jnp.where(neg[:, None, :] & (tp != 0), pq - tp, tp)
+        # the concatenated (local q rows, P rows) destination ring view
+        dst_cat = dataclasses.replace(
+            ring_l,
+            moduli_tuple=None, v2_tabs=None,
+            moduli=jnp.concatenate([ring_l.moduli, p_moduli_g]),
+            qinv_f=jnp.concatenate([ring_l.qinv_f, p_qinv_g]))
 
-        yq = ring_l.ntt(yq)                           # [D, lloc, n]
-        yp = _ntt_p(yp)                               # [D, 1, n]
-        in_band = (gidx[None, :] == jnp.arange(L)[:, None])[..., None]
+        yq_rows, yp_rows = [], []
+        for d in range(D):
+            s, w = d * alpha, widths[d]
+            if w == 1:
+                c = x_inv[s:s + 1, :]
+                q_src = moduli_full[s]
+                neg = c >= (q_src >> 1)
+                mag = jnp.where(neg, q_src - c, c)
+                tq = fring.canon(fring.reduce_once(mag, q_l, qinv_l), q_l)
+                yq_d = jnp.where(neg & (tq != 0), q_l - tq, tq)
+                tp = fring.canon(fring.reduce_once(
+                    mag, p_moduli_g[:, None], p_qinv_g[:, None]),
+                    p_moduli_g[:, None])
+                yp_d = jnp.where(neg & (tp != 0), p_moduli_g[:, None] - tp,
+                                 tp)
+            else:
+                src_ring = dataclasses.replace(
+                    ring_l, moduli_tuple=None, v2_tabs=None,
+                    moduli=moduli_full[s:s + w], qinv_f=qinv_full[s:s + w])
+                muc_l = frns.FastModUpConstants(
+                    qoverqi_inv_qi=inv_g[d, :w],
+                    qoverqi_mod_p=jnp.concatenate(
+                        [cij_q_l[d], cij_p_g[d]])[:, :w],
+                    negq_mod_p=jnp.concatenate([negq_q_l[d], negq_p_g[d]]),
+                    qhalf_mod_qi=qh_src_g[d, :w],
+                    qhalf_mod_p=jnp.concatenate(
+                        [qh_dst_q_l[d], qh_dst_p_g[d]]),
+                    src_q_f64=srcq_g[d, :w])
+                both = frns.mod_up(x_inv[s:s + w, :], muc_l, src_ring,
+                                   dst_cat, centered=True)
+                yq_d, yp_d = both[:lloc, :], both[lloc:, :]
+            yq_rows.append(yq_d)
+            yp_rows.append(yp_d)
+        yq = jnp.stack(yq_rows)                       # [D, lloc, n]
+        yp = jnp.stack(yp_rows)                       # [D, LP, n]
+
+        yq = ring_l.ntt(yq)
+        yp = _ntt_p(yp)
+        dig = jnp.arange(D)[:, None]
+        in_band = ((gidx[None, :] >= dig * alpha)
+                   & (gidx[None, :] < dig * alpha
+                      + jnp.asarray(widths)[:, None]))[..., None]
         yq = jnp.where(in_band, t2[None], yq)
 
         # -- MACs (local) --
+        pq = p_moduli_g[:, None]
+        pinv = p_qinv_g[:, None]
         d_q = jnp.sum(fring.mulmod_lazy_centered(
             rlk_q_l, yq[:, None], q_l, qinv_l), axis=0, dtype=jnp.int32)
         d_q = fring.canon(fring.reduce_once(d_q, q_l, qinv_l), q_l)
@@ -166,14 +244,21 @@ def build_sharded_step(ctx: fckks.FastCKKSContext, mesh: Mesh,
         return o0, o1
 
     # -- helpers bound over replicated constants ----------------------------
-    rlk_p_g = ctx.rlk_p                                # [D, 2, 1, n] replicated
+    rlk_p_g = ctx.rlk_p                                # [D, 2, LP, n] repl
     rp_ring = rp
+    p_moduli_g = rp.moduli
+    p_qinv_g = rp.qinv_f
+    inv_g = jnp.asarray(inv_sd)
+    srcq_g = jnp.asarray(srcq_f64)
+    qh_src_g = jnp.asarray(qh_src)
+    cij_p_g = jnp.asarray(cij_p)
+    negq_p_g = jnp.asarray(negq_p)
+    qh_dst_p_g = jnp.asarray(qh_dst_p)
 
     def _ntt_p(x):
         return rp_ring.ntt(x)
 
     def _ctx_local(ring_l):
-        import dataclasses
         return dataclasses.replace(ctx, ring_q=ring_l)
 
     def _mod_down_local(ring_l, mdc_l, xq, xp):
@@ -190,22 +275,34 @@ def build_sharded_step(ctx: fckks.FastCKKSContext, mesh: Mesh,
     mdc_specs = _shard_pytree_specs(mdc, L, axis)
     data_spec = P(axis, None)
     rlk_spec = P(None, None, axis, None)
+    dig_q_spec = P(None, axis, None)                  # [D, L, alpha]
+    dig_row_spec = P(None, axis)                      # [D, L]
 
     smapped = jax.shard_map(
         local_step, mesh=mesh,
         in_specs=(ring_specs, rlk_spec, mdc_specs, P(None, axis),
-                  P(None, axis), P(), data_spec, data_spec, data_spec,
-                  data_spec),
+                  P(None, axis), P(), P(), dig_q_spec, dig_row_spec,
+                  dig_row_spec, data_spec, data_spec, data_spec, data_spec),
         out_specs=(data_spec, data_spec))
 
     qlinv_j = jnp.asarray(qlinv)
     hmod_j = jnp.asarray(hmod)
     moduli_j = jnp.asarray(qs_full.astype(np.int32))
+    qinv_full_j = rq.qinv_f
+    cij_q_j = jnp.asarray(cij_q)
+    negq_q_j = jnp.asarray(negq_q)
+    qh_dst_q_j = jnp.asarray(qh_dst_q)
+
+    def run(c0, c1, d0, d1):
+        return smapped(rq, ctx.rlk_q, mdc, qlinv_j, hmod_j, moduli_j,
+                       qinv_full_j, cij_q_j, negq_q_j, qh_dst_q_j,
+                       c0, c1, d0, d1)
 
     @jax.jit
     def fn(c0, c1, d0, d1):
-        return smapped(rq, ctx.rlk_q, mdc, qlinv_j, hmod_j, moduli_j,
-                       c0, c1, d0, d1)
+        if c0.ndim == 3:                              # [B, L, N] batched
+            return jax.vmap(run)(c0, c1, d0, d1)
+        return run(c0, c1, d0, d1)
 
     in_sharding = NamedSharding(mesh, data_spec)
     return fn, in_sharding

@@ -1,10 +1,14 @@
 """Limb-sharded flagship step with EXPLICIT collectives: bit-identical to
-the unsharded int32 step AND a pinned collective budget.
+the unsharded int32 step AND a pinned collective budget, at num_p in
+{1, 2, 3} (alpha = num_p hybrid-KS digits, ring/basis_extension.go:381-502)
+and with batched operands.
 
-VERDICT r3 task 7: the mul+relin+rescale composite runs under shard_map over
-the limb axis of the 8-device CPU mesh; the compiled HLO must contain at
-most 1 all-gather (hybrid-KS decompose) + rescale_limbs broadcasts (masked
-psum per dropped limb) and nothing else crossing shards."""
+VERDICT r3 task 7 + r4 next #6: the mul+relin+rescale composite runs under
+shard_map over the limb axis of the 8-device CPU mesh; the compiled HLO
+must contain at most 1 all-gather (hybrid-KS decompose) + rescale_limbs
+broadcasts (masked psum per dropped limb) and nothing else crossing shards
+— for EVERY alpha (the alpha-limb digit ModUp is shard-local by
+construction)."""
 
 import re
 
@@ -18,13 +22,18 @@ from matrix_fhe_tpu.fast import fckks
 from matrix_fhe_tpu.parallel import fast_sharded
 
 
-@pytest.fixture(scope="module")
-def setup():
+def _mesh():
     if len(jax.devices()) < 8:
         pytest.skip("needs 8 virtual devices")
-    mesh = Mesh(np.array(jax.devices()[:8]), ("limb",))
+    return Mesh(np.array(jax.devices()[:8]), ("limb",))
+
+
+@pytest.fixture(scope="module", params=[1, 2, 3])
+def setup(request):
+    mesh = _mesh()
+    num_p = request.param
     ctx, (c0, c1, d0, d1) = fckks.make_synthetic_context(
-        5, 8, 1, rescale_limbs=2)
+        5, 8, num_p, rescale_limbs=2 if num_p == 1 else 1)
     fn, in_sh = fast_sharded.build_sharded_step(ctx, mesh)
     args = [jax.device_put(v, in_sh) for v in (c0, c1, d0, d1)]
     return ctx, fn, args, (c0, c1, d0, d1)
@@ -54,3 +63,29 @@ def test_collective_budget(setup):
     assert ar <= ctx.rescale_limbs, f"{ar} all-reduces (rescale broadcasts)"
     assert cp == 0 and a2a == 0, (cp, a2a)
     assert ag + ar >= 1  # the collectives are real, not optimized away
+
+
+def test_batched_operands():
+    """[B, L, N] operands vmap over the leading axis, same numerics."""
+    mesh = _mesh()
+    ctx, (c0, c1, d0, d1) = fckks.make_synthetic_context(
+        5, 8, 2, rescale_limbs=1)
+    fn, in_sh = fast_sharded.build_sharded_step(ctx, mesh)
+    B = 3
+    rng = np.random.default_rng(0)
+
+    def batch(v):
+        reps = jnp.stack([jnp.asarray(
+            np.ascontiguousarray(np.roll(np.asarray(v), b, axis=-1)))
+            for b in range(B)])
+        return reps
+
+    bc0, bc1, bd0, bd1 = (batch(v) for v in (c0, c1, d0, d1))
+    o0, o1 = fn(bc0, bc1, bd0, bd1)
+    for b in range(B):
+        w0, w1 = fckks.mul_relin_rescale(ctx, bc0[b], bc1[b], bd0[b], bd1[b])
+        live = w0.shape[-2]
+        np.testing.assert_array_equal(np.asarray(o0)[b, :live],
+                                      np.asarray(w0))
+        np.testing.assert_array_equal(np.asarray(o1)[b, :live],
+                                      np.asarray(w1))
