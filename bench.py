@@ -172,15 +172,21 @@ def bench_rotate(quick: bool) -> dict:
 
 
 def bench_wide_ct_mult(quick: bool) -> dict:
-    """45/55-bit (PN14QP438-shaped) ct-mult + relinearize + rescale on the
-    wide pair path (fast/wckks.py).  Bit-exactness vs the u64 evaluator is
-    pinned in tests/test_wring.py; operands here are uniform mod q."""
+    """Ct-mult + relinearize + rescale on the wide pair path (fast/wckks.py)
+    with the EXACT PN14QP438 prime ladder (55+45x6-bit Q, 55x2-bit P —
+    schemes/ckks/example_parameters.go:22-30,70-72).  Bit-exactness vs the
+    u64 evaluator on these primes is pinned in tests/test_wring.py;
+    operands here are uniform mod q."""
     import jax.lax as lax
     from matrix_fhe_tpu.fast import wckks
 
     logn = 12 if quick else 14
-    num_q, num_p = (5, 2) if quick else (7, 2)
-    ctx, (c0, c1, d0, d1) = wckks.make_synthetic_context(logn, num_q, num_p)
+    if quick:
+        ctx, (c0, c1, d0, d1) = wckks.make_synthetic_context(logn, 5, 2)
+    else:
+        ctx, (c0, c1, d0, d1) = wckks.make_synthetic_context(
+            logn, 0, 0, moduli=(wckks.PN14QP438_Q, wckks.PN14QP438_P))
+    num_q, num_p = ctx.ring_q.num_limbs, ctx.ring_p.num_limbs
     rq = ctx.ring_q
 
     def one(carry):
@@ -243,6 +249,46 @@ def bench_ct_mult_u64(quick: bool) -> dict:
     return {"ct_mult_per_s": 1.0 / dt, "dt": dt, "logn": logn}
 
 
+def bench_wide61_ct_mult(quick: bool) -> dict:
+    """Ct-mult + relinearize + rescale on the pair31 (6-plane) wide path
+    with the reference bootstrap sets' widths: 60-bit q0 + 45-bit scale
+    primes, 61-bit P (default_parameters.go:45-65 N16QP1547 residual
+    shape).  Bit-exactness on 60/61-bit primes is pinned in
+    tests/test_wring.py[pair31] and tests/test_wide61.py."""
+    import jax.lax as lax
+    from matrix_fhe_tpu.fast import wckks
+
+    logn = 12 if quick else 14
+    num_q = 4 if quick else 6
+    ctx, (c0, c1, d0, d1) = wckks.make_synthetic_context(
+        logn, num_q, 2, q_bits=(60,) + (45,) * 8, p_bits=61)
+    assert ctx.ring_q.tabs.nplanes == 6
+    rq = ctx.ring_q
+
+    def one(carry):
+        a0, a1 = carry
+        o0, o1 = wckks.mul_relin_rescale(ctx, a0, a1, d0, d1)
+        pad = [(0, 0)] * (o0.ndim - 3) + [(0, 0), (0, 0),
+                                          (0, num_q - o0.shape[-2]), (0, 0)]
+        return rq.add(a0, jnp.pad(o0, pad)), rq.add(a1, jnp.pad(o1, pad))
+
+    iters = 10 if quick else 30
+
+    @jax.jit
+    def run(c):
+        return lax.fori_loop(0, iters, lambda _, v: one(v), c)
+
+    jax.block_until_ready(run((c0, c1)))
+    best = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        jax.block_until_ready(run((c0, c1)))
+        best = min(best, time.perf_counter() - t0)
+    dt = best / iters
+    return {"wide61_ct_mult_per_s": 1.0 / dt, "dt": dt, "logn": logn,
+            "num_q": num_q, "num_p": 2}
+
+
 def main() -> None:
     quick = "--quick" in sys.argv
     print(f"devices: {jax.devices()}", file=sys.stderr)
@@ -274,6 +320,12 @@ def main() -> None:
         print(f"wide ct_mult bench failed: {e}", file=sys.stderr)
         wct = None
     try:
+        w61 = bench_wide61_ct_mult(quick)
+        print(f"ct_mult (wide61 60/45/61-bit): {w61}", file=sys.stderr)
+    except Exception as e:  # pragma: no cover
+        print(f"wide61 ct_mult bench failed: {e}", file=sys.stderr)
+        w61 = None
+    try:
         ct64 = bench_ct_mult_u64(quick)
         print(f"ct_mult (u64 45-bit): {ct64}", file=sys.stderr)
     except Exception as e:  # pragma: no cover
@@ -301,23 +353,38 @@ def main() -> None:
     if wct is not None:
         result["wide_ct_mult_per_s"] = round(wct["wide_ct_mult_per_s"], 2)
         result["wide_ct_mult_logn"] = wct["logn"]
+        if not quick:
+            result["wide_ct_mult_ladder"] = "PN14QP438-exact"
+    if w61 is not None:
+        result["wide61_ct_mult_per_s"] = round(w61["wide61_ct_mult_per_s"], 2)
+        result["wide61_ct_mult_logn"] = w61["logn"]
     if ntt64 is not None:
         result["u64_ntt_per_s"] = round(ntt64["ntt_per_s"], 1)
     # roofline accounting vs the v5e chip peaks (speed-of-light audit)
     result["roofline_ntt"] = ntt_roofline(14, 1, ntt["ntt_per_s"],
                                           digit_planes=3)
-    # measured-offline bootstrap number (the full pipeline jitted into one
-    # XLA graph takes ~10+ min of keygen+compile, too slow to re-run inside
-    # every bench invocation; tools/probe_wboot_jit.py writes the artifact)
-    try:
-        import os
-        with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                               "BOOT_r04.json")) as f:
+    # measured-offline bootstrap number (the full pipeline takes ~10+ min of
+    # keygen+compile, too slow to re-run inside every bench invocation;
+    # tools/probe_wboot_stage.py writes the committed artifact).  A missing
+    # artifact is a LOUD failure (VERDICT r4 next #1), not a silent pass.
+    import glob
+    import os
+    boots = sorted(glob.glob(os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BOOT_r*.json")))
+    if boots:
+        with open(boots[-1]) as f:
             boot = json.load(f)
-        result["bootstrap_per_s_measured_offline"] = boot["bootstrap_per_s"]
+        result["bootstrap_per_s"] = boot["bootstrap_per_s"]
         result["bootstrap_logn"] = boot["logn"]
-    except Exception:
-        pass
+        result["bootstrap_precision_bits"] = boot.get("precision_mean_bits")
+        result["bootstrap_slots"] = boot.get("slots")
+        result["bootstrap_artifact"] = os.path.basename(boots[-1])
+    else:
+        print("ERROR: no BOOT_r*.json bootstrap artifact committed — run "
+              "tools/probe_wboot_stage.py on the chip and commit the result",
+              file=sys.stderr)
+        result["bootstrap_per_s"] = None
+        result["bootstrap_missing"] = True
     print(json.dumps(result))
 
 

@@ -21,28 +21,54 @@ from matrix_fhe_tpu.fast import fboot, feval
 from matrix_fhe_tpu.rlwe import encryptor, keys as K
 
 
+# sha256 over the u64 pipeline's refreshed limbs for the canonical chain /
+# keys / input below (deterministic: primes, PRNG keys and all integer math
+# are fixed).  Committed so the default suite validates the fast pipeline
+# against the u64 result WITHOUT re-running the u64 pipeline (~4 min of
+# eager CPU); the live two-pipeline cross-check survives as the slow test.
+U64_BOOT_DIGEST = \
+    "be5e856029eda8d9408dc84fe8be024e9afcd67dcbc1ba69b493edaeb2d79ece"
+
+
 @pytest.fixture(scope="module")
 def ctx():
     lit = fboot.fast_parameters_literal(6, residual_levels=2, sparse_weight=0)
     p = btp.Parameters(lit)
     sk = K.gen_secret_key(jax.random.key(0), p.params)
     evk = btp.gen_evaluation_keys(jax.random.key(1), p, sk)
-    u64_ev = btp.Evaluator(p, evk)
     fast_ev = fboot.make_fast_bootstrapper(p, evk)
-    return p, sk, u64_ev, fast_ev
+    return p, sk, evk, fast_ev
 
 
-def test_fast_bootstrap_bit_exact(ctx):
-    p, sk, u64_ev, fast_ev = ctx
+def _boot_input(p, sk, enc):
     params = p.params
-    enc = u64_ev.enc
-
     rng = np.random.default_rng(0)
     v = (rng.uniform(-1, 1, params.max_slots)
          + 1j * rng.uniform(-1, 1, params.max_slots))
     pt = enc.encode(v, level=p.residual_level)
-    ct = encryptor.encrypt(jax.random.key(3), params, sk, pt)
+    return encryptor.encrypt(jax.random.key(3), params, sk, pt)
 
+
+def test_fast_bootstrap_matches_u64_digest(ctx):
+    import hashlib
+    p, sk, evk, fast_ev = ctx
+    ct = _boot_input(p, sk, fast_ev.enc)
+    out_fast = fast_ev.bootstrap(feval.ct_to_fast(ct))
+    assert out_fast.level == p.residual_level
+    h = hashlib.sha256()
+    for vf in out_fast.value:
+        h.update(np.ascontiguousarray(
+            np.asarray(feval.to_uint64(vf))).tobytes())
+    assert h.hexdigest() == U64_BOOT_DIGEST
+
+
+@pytest.mark.slow
+def test_fast_bootstrap_bit_exact(ctx):
+    """The live two-pipeline form of the digest test (regenerates
+    U64_BOOT_DIGEST's preimage)."""
+    p, sk, evk, fast_ev = ctx
+    u64_ev = btp.Evaluator(p, evk)
+    ct = _boot_input(p, sk, u64_ev.enc)
     out_u64 = u64_ev.bootstrap(ct)
     out_fast = fast_ev.bootstrap(feval.ct_to_fast(ct))
 
@@ -51,6 +77,11 @@ def test_fast_bootstrap_bit_exact(ctx):
     for vf, vu in zip(out_fast.value, out_u64.value):
         np.testing.assert_array_equal(np.asarray(feval.to_uint64(vf)),
                                       np.asarray(vu))
+    import hashlib
+    h = hashlib.sha256()
+    for vu in out_u64.value:
+        h.update(np.ascontiguousarray(np.asarray(vu)).tobytes())
+    assert h.hexdigest() == U64_BOOT_DIGEST
 
 
 @pytest.mark.slow

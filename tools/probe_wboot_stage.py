@@ -143,27 +143,46 @@ repack = (lit_fmt.format == dft.REPACK_IMAG_AS_REAL
           and lit_fmt.log_slots < params.log_n - 1)
 
 
+_first = [True]
+
+
+def _tick(name):
+    if _first[0]:
+        print(f"  stage {name} done [{time.perf_counter()-t0:.1f}s]",
+              flush=True)
+
+
 def bootstrap_staged(ct):
     ct = stage_head(ct)
-    for s in stage_mat:
+    _tick("head")
+    for i, s in enumerate(stage_mat):
         ct = s(ct)
+        _tick(f"c2s[{i}]")
     ct_real, ct_imag = stage_c2s_tail(ct)
+    _tick("c2s_tail")
     if repack:
         ct = stage_evalmod(ct_real)
+        _tick("evalmod")
     else:
         ct_real = stage_evalmod(ct_real)
         ct_imag = stage_evalmod(ct_imag)
+        _tick("evalmod2")
         ct = stage_s2c_head(ct_real, ct_imag)
-    for s in stage_s2c:
+    for i, s in enumerate(stage_s2c):
         ct = s(ct)
+        _tick(f"s2c[{i}]")
+    _first[0] = False
     return ct
 
 
+print("building staged pipeline: first call compiles each stage",
+      flush=True)
 rng = np.random.default_rng(0)
 v = rng.uniform(-1, 1, params.max_slots)
 pt = bts.enc.encode(v, level=p.residual_level)
 ct = weval.ct_to_wide(
     encryptor.encrypt(jax.random.key(3), params, sk, pt), params)
+print(f"encrypted [{time.perf_counter()-t0:.1f}s]", flush=True)
 
 t1 = time.perf_counter()
 out = bootstrap_staged(ct)
@@ -191,7 +210,7 @@ art = {"bootstrap_per_s": round(1 / best, 4), "seconds": round(best, 3),
        "precision_mean_bits": round(float(prec.mean()), 2),
        "precision_min_bits": round(float(prec.min()), 2),
        "backend": jax.default_backend(), "staging": "per-stage jit"}
-with open("BOOT_r04.json", "w") as f:
+with open("BOOT_r05.json", "w") as f:
     json.dump(art, f, indent=1)
-print("wrote BOOT_r04.json")
+print("wrote BOOT_r05.json")
 print(f"total [{time.perf_counter()-t0:.1f}s]")
