@@ -268,8 +268,8 @@ def bench_wide61_ct_mult(quick: bool) -> dict:
     def one(carry):
         a0, a1 = carry
         o0, o1 = wckks.mul_relin_rescale(ctx, a0, a1, d0, d1)
-        pad = [(0, 0)] * (o0.ndim - 3) + [(0, 0), (0, 0),
-                                          (0, num_q - o0.shape[-2]), (0, 0)]
+        pad = [(0, 0)] * (o0.ndim - 3) + [(0, 0), (0, num_q - o0.shape[-2]),
+                                          (0, 0)]
         return rq.add(a0, jnp.pad(o0, pad)), rq.add(a1, jnp.pad(o1, pad))
 
     iters = 10 if quick else 30
