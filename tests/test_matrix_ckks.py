@@ -153,3 +153,43 @@ def test_automorphism_3n():
             acc[e - n] -= c
     want = acc[:n]
     np.testing.assert_allclose(got, want, atol=1e-3)
+
+
+def test_mul_relin_3n_large_degree():
+    """matrix-CKKS at N = 1152 = 2^7 * 3^2 — the regime the fork's paper
+    targets, reachable only through the factorized 3N NTT (the dense
+    evaluation matrix capped at N <= 384).  Full encrypt -> mul+relin ->
+    rescale -> decrypt with a float schoolbook oracle."""
+    from matrix_fhe_tpu.rlwe import decryptor, encryptor, keys as K
+    from matrix_fhe_tpu.schemes.matrix_ckks import scheme as mx
+    import jax
+    params = mx.new_parameters(mx.MatrixCKKSParametersLiteral(
+        order2=7, order3=2, logq=(50, 40, 40), logp=(60,),
+        log_default_scale=40))
+    assert params.n == 1152
+    assert params.ring_q.ntt3n is not None      # factorized path engaged
+    enc = mx.Encoder(params)
+    ev = mx.Evaluator(params)
+    ks, kr = jax.random.split(jax.random.key(0))
+    sk = K.gen_secret_key(ks, params)
+    rlk = K.gen_relinearization_key(kr, params, sk)
+
+    rng = np.random.default_rng(3)
+    v1 = rng.uniform(-1, 1, params.n)
+    v2 = rng.uniform(-1, 1, params.n)
+    ct1 = encryptor.encrypt(jax.random.key(1), params, sk, enc.encode(v1))
+    ct2 = encryptor.encrypt(jax.random.key(2), params, sk, enc.encode(v2))
+
+    out = ev.rescale(ev.mul_relin(ct1, ct2, rlk))
+    got = enc.decode(decryptor.decrypt(params, sk, out))
+    n = params.n
+    prod = np.zeros(2 * n)
+    for i in range(n):
+        prod[i:i + n] += v1[i] * v2
+    for k in range(n - 1, -1, -1):
+        c = prod[n + k]
+        if c != 0.0:
+            prod[n + k] = 0
+            prod[k + n // 2] += c
+            prod[k] -= c
+    np.testing.assert_allclose(got, prod[:n], atol=2e-3)
