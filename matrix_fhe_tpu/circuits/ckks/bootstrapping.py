@@ -338,6 +338,32 @@ class Evaluator:
                           num_stages=log_k)
         return [outs[j] for j in range(k)]
 
+    def bootstrap_sparse(self, cts_small: list[Ciphertext], params_small,
+                         evk_up, evk_down,
+                         pack_gks: dict | None = None) -> list[Ciphertext]:
+        """True PackAndSwitchN1ToN2/UnpackAndSwitch (evaluator.go:880-1065):
+        refresh k = N2/N1 ciphertexts living at the SMALLER ring degree N1
+        through ONE degree-N2 pipeline pass.
+
+        Each small ciphertext ring-switches up (slot replication + key
+        switch, rlwe/ring_switch.py) — producing exactly the k-fold
+        replicated payload ``bootstrap_packed`` interleaves — then the
+        packed bootstrap runs once and each output switches back down to
+        N1.  ``evk_up``/``evk_down`` are ring_switch.gen_ring_swap_keys
+        between ``params_small`` and this evaluator's parameters (shared
+        moduli chain)."""
+        from matrix_fhe_tpu.rlwe import ring_switch as rs
+
+        params = self.p.params
+        k = params.n // params_small.n
+        if len(cts_small) != k:
+            raise ValueError(f"need N2/N1 = {k} inputs, got {len(cts_small)}")
+        big = [rs.switch_up(params_small, params, c, evk_up)
+               for c in cts_small]
+        outs = self.bootstrap_packed(big, pack_gks)
+        return [rs.switch_down(params, params_small, o, evk_down)
+                for o in outs]
+
     # -- iterative META-BTS (evaluator.go:345-493) -------------------------
     def evaluate(self, ct: Ciphertext, iterations: int = 1,
                  reserved_bits: int = 16) -> Ciphertext:
