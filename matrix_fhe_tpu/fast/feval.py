@@ -171,9 +171,6 @@ class FastEvaluator(ckks.Evaluator):
         """BSGS diagonal-matrix multiply on the int32 path
         (fast/flintrans.py); the u64 ``lt_obj`` plaintexts are converted to
         plain-domain int32 once and cached."""
-        if lt_obj.n1 == 0:
-            raise NotImplementedError(
-                "fast path implements the BSGS form only (log_bsgs_ratio >= 0)")
         flt = self._flt_cache.get(id(lt_obj))
         if flt is None:
             flt = flintrans.convert_lintrans(self.params, lt_obj)
@@ -181,8 +178,10 @@ class FastEvaluator(ckks.Evaluator):
         level = min(ct.level, lt_obj.level_q)
         ct = self._drop_level(ct, level)
         ctx = self._ctx(level)
-        out0, out1 = flintrans.matvec_bsgs(ctx, flt, ct.value[0], ct.value[1],
-                                           self.params.galois_element)
+        matvec = (flintrans.matvec_naive if lt_obj.n1 == 0
+                  else flintrans.matvec_bsgs)
+        out0, out1 = matvec(ctx, flt, ct.value[0], ct.value[1],
+                            self.params.galois_element)
         return ct.with_value((out0, out1)).with_metadata(
             scale=ct.scale * lt_obj.scale)
 

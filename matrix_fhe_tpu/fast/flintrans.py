@@ -154,3 +154,50 @@ def matvec_bsgs(ctx: FastCKKSContext, flt: FastLinearTransformation,
     out0 = frns.mod_down(out[0], out[2], ctx.mdc, rq, rp, ntt=True)
     out1 = frns.mod_down(out[1], out[3], ctx.mdc, rq, rp, ntt=True)
     return out0, out1
+
+
+def matvec_naive(ctx: FastCKKSContext, flt: FastLinearTransformation,
+                 c0, c1, galois_element):
+    """Naive single-hoisted diagonal loop (lintrans_evaluator.go:131-255,
+    the n1 == 0 / log_bsgs_ratio < 0 form): one shared decomposition, one
+    lazy key-switched rotation per nonzero diagonal, one final ModDown.
+    Mirrors circuits/lintrans._multiply_by_diag_matrix on the int32
+    kernels."""
+    rq, rp = ctx.ring_q, ctx.ring_p
+    slots = 1 << flt.log_dimensions[1]
+    keys = sorted(flt.vec.keys())
+    state = bool(keys) and keys[0] == 0
+    if state:
+        keys = keys[1:]
+    keys = [k & (slots - 1) for k in keys]
+    gal = {k: galois_element(k) for k in keys}
+    pre = rotations_hoisted_lazy(ctx, c0, c1,
+                                 [gal[k] for k in keys]) if keys else {}
+
+    acc = [None, None, None, None]  # out0q, out1q, out0p, out1p
+    lq = rq.num_limbs
+    for k in keys:
+        (r0q, r0p), (r1q, r1p) = pre[gal[k]]
+        ptq, ptp = flt.vec[k]
+        ptq = ptq[..., :lq, :]
+        acc[0] = _mul_acc(rq, ptq, r0q, acc[0])
+        acc[2] = _mul_acc(rp, ptp, r0p, acc[2])
+        acc[1] = _mul_acc(rq, ptq, r1q, acc[1])
+        acc[3] = _mul_acc(rp, ptp, r1p, acc[3])
+
+    if acc[0] is None:
+        out0 = jnp.zeros_like(c0)
+        out1 = jnp.zeros_like(c1)
+    else:
+        out0 = frns.mod_down(acc[0], acc[2], ctx.mdc, rq, rp, ntt=True)
+        out1 = frns.mod_down(acc[1], acc[3], ctx.mdc, rq, rp, ntt=True)
+
+    if state:
+        ptq = flt.vec[0][0][..., :lq, :]
+        out0 = rq.add(out0, fring.canon(fring.mulmod_lazy_centered(
+            ptq, c0, rq.moduli[:, None], rq.qinv_f[:, None]),
+            rq.moduli[:, None]))
+        out1 = rq.add(out1, fring.canon(fring.mulmod_lazy_centered(
+            ptq, c1, rq.moduli[:, None], rq.qinv_f[:, None]),
+            rq.moduli[:, None]))
+    return out0, out1

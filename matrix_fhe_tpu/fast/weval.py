@@ -186,9 +186,6 @@ class WideEvaluator(ckks.Evaluator):
 
     # -- composites ----------------------------------------------------------
     def evaluate_lintrans(self, ct: Ciphertext, lt_obj, gks=None) -> Ciphertext:
-        if lt_obj.n1 == 0:
-            raise NotImplementedError(
-                "wide path implements the BSGS form only (log_bsgs_ratio >= 0)")
         wlt = self._wlt_cache.get(id(lt_obj))
         if wlt is None:
             wlt = wlintrans.convert_lintrans(self.params, lt_obj)
@@ -196,8 +193,10 @@ class WideEvaluator(ckks.Evaluator):
         level = min(ct.level, lt_obj.level_q)
         ct = self._drop_level(ct, level)
         ctx = self._ctx(level)
-        out0, out1 = wlintrans.matvec_bsgs(ctx, wlt, ct.value[0], ct.value[1],
-                                           self.params.galois_element)
+        matvec = (wlintrans.matvec_naive if lt_obj.n1 == 0
+                  else wlintrans.matvec_bsgs)
+        out0, out1 = matvec(ctx, wlt, ct.value[0], ct.value[1],
+                            self.params.galois_element)
         return ct.with_value((out0, out1)).with_metadata(
             scale=ct.scale * lt_obj.scale)
 

@@ -152,3 +152,44 @@ def matvec_bsgs(ctx: WideCKKSContext, wlt: WideLinearTransformation,
     out0 = wrns.mod_down(out[0], out[2], ctx.mdc, rq, rp, ntt=True)
     out1 = wrns.mod_down(out[1], out[3], ctx.mdc, rq, rp, ntt=True)
     return out0, out1
+
+
+def matvec_naive(ctx: WideCKKSContext, wlt: WideLinearTransformation,
+                 c0, c1, galois_element):
+    """Naive single-hoisted diagonal loop (lintrans_evaluator.go:131-255)
+    on the wide pair kernels — the n1 == 0 form matvec_bsgs does not
+    cover."""
+    rq, rp = ctx.ring_q, ctx.ring_p
+    slots = 1 << wlt.log_dimensions[1]
+    keys = sorted(wlt.vec.keys())
+    state = bool(keys) and keys[0] == 0
+    if state:
+        keys = keys[1:]
+    keys = [k & (slots - 1) for k in keys]
+    gal = {k: galois_element(k) for k in keys}
+    pre = rotations_hoisted_lazy(ctx, c0, c1,
+                                 [gal[k] for k in keys]) if keys else {}
+
+    acc = [None, None, None, None]
+    lq = rq.num_limbs
+    for k in keys:
+        (r0q, r0p), (r1q, r1p) = pre[gal[k]]
+        ptq, ptp = wlt.vec[k]
+        ptq = ptq[..., :lq, :]
+        acc[0] = _mul_acc(rq, ptq, r0q, acc[0])
+        acc[2] = _mul_acc(rp, ptp, r0p, acc[2])
+        acc[1] = _mul_acc(rq, ptq, r1q, acc[1])
+        acc[3] = _mul_acc(rp, ptp, r1p, acc[3])
+
+    if acc[0] is None:
+        out0 = jnp.zeros_like(c0)
+        out1 = jnp.zeros_like(c1)
+    else:
+        out0 = wrns.mod_down(acc[0], acc[2], ctx.mdc, rq, rp, ntt=True)
+        out1 = wrns.mod_down(acc[1], acc[3], ctx.mdc, rq, rp, ntt=True)
+
+    if state:
+        ptq = wlt.vec[0][0][..., :lq, :]
+        out0 = rq.add(out0, wide.mulmod(rq.tabs, ptq, c0))
+        out1 = rq.add(out1, wide.mulmod(rq.tabs, ptq, c1))
+    return out0, out1

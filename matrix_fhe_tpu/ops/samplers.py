@@ -115,12 +115,14 @@ def ternary_poly(key: jax.Array, ring: rg.Ring, xs: Ternary,
     shape = batch + (ring.n,)
     k1, k2 = jax.random.split(key)
     if xs.h is not None:
-        if batch:
-            raise NotImplementedError("batched hamming-weight sampling TBD")
-        base = jnp.concatenate([
-            jnp.ones(xs.h, dtype=jnp.int8), jnp.zeros(ring.n - xs.h, dtype=jnp.int8)])
-        signs = 1 - 2 * (jax.random.bits(k1, (ring.n,), dtype=jnp.uint32) & 1).astype(jnp.int8)
-        vals = jax.random.permutation(k2, base * signs)
+        base = jnp.broadcast_to(jnp.concatenate([
+            jnp.ones(xs.h, dtype=jnp.int8),
+            jnp.zeros(ring.n - xs.h, dtype=jnp.int8)]), shape)
+        signs = 1 - 2 * (jax.random.bits(k1, shape, dtype=jnp.uint32)
+                         & 1).astype(jnp.int8)
+        # independent permutation per batch element (vmapped axis=-1 perm)
+        vals = jax.random.permutation(k2, base * signs, axis=-1,
+                                      independent=True)
     else:
         p = 2.0 / 3.0 if xs.p is None else xs.p
         u = jax.random.uniform(k1, shape, dtype=jnp.float32)

@@ -82,3 +82,34 @@ def test_matvec_decrypts_to_model(setup):
         want += np.asarray(d) * np.roll(v, -(k % slots))
     ckks.precision.assert_precision(want, dec, 15)
 
+
+
+def test_matvec_naive_matches_u64(setup):
+    """The n1 == 0 (log_bsgs_ratio < 0) single-hoisted loop, bit-exact vs
+    the u64 naive evaluator (lintrans_evaluator.go:131-255)."""
+    params, enc, sk, gks, transform, flt, fctx, ct, diags, v = setup
+    ltp = lt.LinearTransformationParameters(
+        diagonals_index_list=list(diags.keys()), level_q=params.max_level,
+        level_p=params.max_level_p, scale=params.default_scale,
+        log_dimensions=(0, params.log_max_slots), log_bsgs_ratio=-1)
+    naive_t = ckks_lt.new_linear_transformation(enc, diags, ltp)
+    assert naive_t.n1 == 0
+    gels = lt.galois_elements(params, list(diags.keys()),
+                              params.max_slots, -1)
+    gks2 = dict(gks)
+    missing = [g for g in gels if g not in gks2]
+    if missing:
+        gks2.update(K.gen_galois_keys(jax.random.key(9), params, sk, missing))
+    want = lt.evaluate(params, ct, naive_t, gks2)
+    import dataclasses as _dc
+    fctx2 = fckks.make_context(
+        params, K.gen_relinearization_key(jax.random.key(1), params, sk),
+        gks=gks2)
+    fnt = flintrans.convert_lintrans(params, naive_t)
+    got0, got1 = flintrans.matvec_naive(
+        fctx2, fnt, _i32(ct.value[0]), _i32(ct.value[1]),
+        params.galois_element)
+    np.testing.assert_array_equal(np.asarray(got0).astype(np.uint64),
+                                  np.asarray(want.value[0]))
+    np.testing.assert_array_equal(np.asarray(got1).astype(np.uint64),
+                                  np.asarray(want.value[1]))

@@ -164,3 +164,29 @@ def test_evaluate_lintrans(ctx):
     u64b = ckks.Evaluator(params, rlk=u64.rlk, galois_keys=gks2)
     wevb = weval.make_wide_evaluator(params, u64.rlk, gks2)
     _eq(wevb.evaluate_lintrans(fa, ltr), u64b.evaluate_lintrans(a, ltr))
+
+
+def test_evaluate_lintrans_naive(ctx):
+    """The n1 == 0 single-hoisted loop on the wide kernels, bit-exact vs
+    the u64 naive evaluator."""
+    params, sk, u64, wev, enc, wenc, cts = ctx
+    _eq = _mk_eq(params)
+    a = cts[0]
+    fa = weval.ct_to_wide(a, params)
+    slots = params.max_slots
+    rng = np.random.default_rng(5)
+    diags = {0: rng.standard_normal(slots), 2: rng.standard_normal(slots),
+             slots - 2: rng.standard_normal(slots)}
+    from fractions import Fraction
+    ltp = lt.LinearTransformationParameters(
+        diagonals_index_list=list(diags.keys()), level_q=a.level,
+        level_p=params.max_level_p, scale=Fraction(params.q[a.level]),
+        log_dimensions=(0, params.log_max_slots), log_bsgs_ratio=-1)
+    ltr = lt.encode(enc.embed_qp, diags, ltp)
+    assert ltr.n1 == 0
+    els = lt.galois_elements(params, list(diags.keys()), slots, -1)
+    gks2 = dict(u64.gks)
+    gks2.update(K.gen_galois_keys(jax.random.key(6), params, sk, els))
+    u64b = ckks.Evaluator(params, rlk=u64.rlk, galois_keys=gks2)
+    wevb = weval.make_wide_evaluator(params, u64.rlk, gks2)
+    _eq(wevb.evaluate_lintrans(fa, ltr), u64b.evaluate_lintrans(a, ltr))
