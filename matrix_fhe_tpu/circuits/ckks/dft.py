@@ -217,11 +217,15 @@ def gen_matrices(lit: MatrixLiteral, log_n: int) -> list[dict]:
 # ---------------------------------------------------------------------------
 
 def new_matrix_from_literal(params, lit: MatrixLiteral, encoder) -> Matrix:
-    """NewMatrixFromLiteral (dft.go:159-217), PREC64: one modulus per
-    matrix, matrix i encoded at scale q[level_q - i]."""
-    if any(l != 1 for l in lit.levels):
-        raise NotImplementedError("fractional per-level scales (Levels[i]>1) "
-                                  "are not supported in PREC64 mode")
+    """NewMatrixFromLiteral (dft.go:159-217): ``levels[i]`` matrices share
+    the i-th rescaling prime — each is encoded at scale q^{1/levels[i]}
+    (dft.go:183-188) so the group's accumulated scale is one prime, and
+    evaluation rescales once per GROUP.  The fractional scale is carried
+    as a high-precision Fraction (2^-96 relative error), so the exact
+    scale bookkeeping absorbs the k-th-root approximation consistently
+    (encode and decode use the same value); with levels[i] == 1 this
+    degenerates to the one-modulus-per-matrix PREC64 form.
+    """
     log_dslots = lit.log_slots
     if log_dslots < params.log_n - 1 and lit.format == REPACK_IMAG_AS_REAL:
         log_dslots += 1
@@ -235,17 +239,31 @@ def new_matrix_from_literal(params, lit: MatrixLiteral, encoder) -> Matrix:
             v = np.tile(v, max_slots // len(v))
         return encoder.embed_qp(v, level_q, level_p, scale)
 
-    matrices = []
+    # per-factor scales: group i (lit.levels[i] factors) shares prime
+    # q[level - i]; k > 1 factors get the k-th root of that prime
+    scales = []
     level = lit.level_q
-    for i, diags in enumerate(diag_factors):
-        scale = Fraction(params.q[level])
+    for k in lit.levels:
+        q = params.q[level]
+        if k == 1:
+            scales.append(Fraction(q))
+        else:
+            import decimal
+            with decimal.localcontext() as dctx:
+                dctx.prec = 60
+                root = decimal.Decimal(q) ** (decimal.Decimal(1) / k)
+                num = int((root * (1 << 96)).to_integral_value())
+            scales.extend([Fraction(num, 1 << 96)] * k)
+        level -= 1
+
+    matrices = []
+    for diags, scale in zip(diag_factors, scales):
         ltp = lt.LinearTransformationParameters(
             diagonals_index_list=list(diags.keys()), level_q=lit.level_q,
             level_p=lit.level_p, scale=scale,
             log_dimensions=(0, log_dslots),
             log_bsgs_ratio=lit.log_bsgs_ratio)
         matrices.append(lt.encode(embed, diags, ltp))
-        level -= 1
     return Matrix(literal=lit, matrices=matrices)
 
 
@@ -270,13 +288,20 @@ def galois_elements(params, lit: MatrixLiteral) -> list[int]:
 # ---------------------------------------------------------------------------
 
 def _dft(params, ev, ct: Ciphertext, matrices: list[lt.LinearTransformation],
-         gks) -> Ciphertext:
-    """EvaluateSequential with rescale after each factor (dft.go:345-363).
-    Routed through ``ev.evaluate_lintrans`` so backend-specific evaluators
-    (the int32 fast path) substitute their own BSGS matvec."""
+         gks, levels: list[int] | None = None) -> Ciphertext:
+    """EvaluateSequential (dft.go:345-363): rescale once per LEVEL GROUP
+    (``levels[i]`` consecutive factors share one prime; default: one
+    factor per group).  Routed through ``ev.evaluate_lintrans`` so
+    backend-specific evaluators (the int32/wide fast paths) substitute
+    their own matvec."""
+    if levels is None:
+        levels = [1] * len(matrices)
     out = ct
-    for m in matrices:
-        out = ev.evaluate_lintrans(out, m, gks)
+    idx = 0
+    for k in levels:
+        for _ in range(k):
+            out = ev.evaluate_lintrans(out, matrices[idx], gks)
+            idx += 1
         out = ev.rescale(out)
     return out
 
@@ -288,7 +313,8 @@ def coeffs_to_slots(params, ev, ct: Ciphertext, matrix: Matrix, gks):
     (the imaginary part is repacked into the right slots of ct_real)."""
     lit = matrix.literal
     if lit.format in (SPLIT_REAL_AND_IMAG, REPACK_IMAG_AS_REAL):
-        zv = _dft(params, ev, ct, matrix.matrices, gks)
+        zv = _dft(params, ev, ct, matrix.matrices, gks,
+                  lit.levels)
         ct_real = ev.conjugate(zv)
         ct_imag = ev.mul_const_complex(ev.sub(zv, ct_real), -1j, scale=Fraction(1))
         ct_real = ev.add(ct_real, zv)
@@ -296,7 +322,8 @@ def coeffs_to_slots(params, ev, ct: Ciphertext, matrix: Matrix, gks):
             ct_imag = ev.rotate(ct_imag, 1 << lit.log_slots)
             return ev.add(ct_real, ct_imag), None
         return ct_real, ct_imag
-    return _dft(params, ev, ct, matrix.matrices, gks), None
+    return _dft(params, ev, ct, matrix.matrices, gks,
+                lit.levels), None
 
 
 def slots_to_coeffs(params, ev, ct_real: Ciphertext,
@@ -306,4 +333,5 @@ def slots_to_coeffs(params, ev, ct_real: Ciphertext,
         ct = ev.add(ev.mul_const_complex(ct_imag, 1j, scale=Fraction(1)), ct_real)
     else:
         ct = ct_real
-    return _dft(params, ev, ct, matrix.matrices, gks)
+    return _dft(params, ev, ct, matrix.matrices, gks,
+                matrix.literal.levels)

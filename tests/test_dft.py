@@ -100,3 +100,44 @@ def test_c2s_matches_plain_coeffs(ctx):
     n2 = params.max_slots
     ckks.precision.assert_precision(coeffs[:n2][br], got_real, 10)
     ckks.precision.assert_precision(coeffs[n2:][br], got_imag, 10)
+
+
+def test_c2s_s2c_fractional_levels(ctx):
+    """levels=[2, 1]: two DFT factors amortize ONE rescaling prime
+    (dft.go:183-211 Levels[i] > 1), each encoded at the prime's square
+    root carried as a high-precision Fraction scale.  The roundtrip burns
+    2 levels for 3 factors instead of 3."""
+    params, enc, sk, rlk = ctx
+    log_slots = params.log_max_slots
+    L = params.max_level
+
+    c2s_lit = dft.MatrixLiteral(
+        type=dft.HOMOMORPHIC_ENCODE, log_slots=log_slots, level_q=L,
+        level_p=params.max_level_p, levels=[2, 1],
+        format=dft.SPLIT_REAL_AND_IMAG)
+    s2c_lit = dft.MatrixLiteral(
+        type=dft.HOMOMORPHIC_DECODE, log_slots=log_slots, level_q=L - 2,
+        level_p=params.max_level_p, levels=[2, 1],
+        format=dft.SPLIT_REAL_AND_IMAG)
+
+    c2s = dft.new_matrix_from_literal(params, c2s_lit, enc)
+    s2c = dft.new_matrix_from_literal(params, s2c_lit, enc)
+    assert len(c2s.matrices) == 3        # sum(levels) factors
+
+    gels = sorted(set(dft.galois_elements(params, c2s_lit)) |
+                  set(dft.galois_elements(params, s2c_lit)))
+    gks = K.gen_galois_keys(jax.random.key(8), params, sk, gels)
+    ev = ckks.Evaluator(params, rlk=rlk, galois_keys=gks)
+
+    rng = np.random.default_rng(1)
+    v = (rng.uniform(-1, 1, params.max_slots)
+         + 1j * rng.uniform(-1, 1, params.max_slots))
+    ct = encryptor.encrypt(jax.random.key(4), params, sk, enc.encode(v))
+
+    ct_real, ct_imag = dft.coeffs_to_slots(params, ev, ct, c2s, gks)
+    assert ct_real.level == L - 2        # only 2 primes consumed
+
+    out = dft.slots_to_coeffs(params, ev, ct_real, ct_imag, s2c, gks)
+    assert out.level == L - 4
+    got = enc.decode(decryptor.decrypt(params, sk, out))
+    ckks.precision.assert_precision(v, got, 10)
