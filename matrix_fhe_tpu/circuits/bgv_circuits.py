@@ -25,7 +25,8 @@ def embed_fn(params, enc):
     t = params.t
 
     def embed(values, level_q, level_p, scale):
-        vals = np.zeros(params.n, dtype=np.uint64)
+        n_t = params.n_t
+        vals = np.zeros(n_t, dtype=np.uint64)
         arr = np.asarray(values).astype(object)
         vals[enc.perm[: len(arr)]] = np.array([int(v) % t for v in arr],
                                               dtype=np.uint64)
@@ -34,15 +35,20 @@ def embed_fn(params, enc):
         if sc % t != 1:
             scm = jnp.array([(sc % t) * (1 << 64) % t], dtype=jnp.uint64)
             pt_t = params.ring_t.mul_scalar_montgomery(pt_t, scm)
-        arr_t = np.asarray(pt_t)[0]
+        # gap-spread into degree N (encoder.go RingT2Q; gap 1 when T has
+        # full order)
+        spread = np.zeros(params.n, dtype=np.uint64)
+        spread[:: params.n // n_t] = np.asarray(pt_t)[0]
 
         rq = params.ring_q.at_level(level_q)
-        limbs_q = np.stack([arr_t % np.uint64(q) for q in params.q[:level_q + 1]])
+        limbs_q = np.stack([spread % np.uint64(q)
+                            for q in params.q[:level_q + 1]])
         ptq = rq.mform(rq.ntt(mm.u64(limbs_q)))
         ptp = None
         if level_p is not None and level_p >= 0 and params.ring_p is not None:
             rp = params.ring_p.at_level(level_p)
-            limbs_p = np.stack([arr_t % np.uint64(p) for p in params.p[:level_p + 1]])
+            limbs_p = np.stack([spread % np.uint64(p)
+                                for p in params.p[:level_p + 1]])
             ptp = rp.mform(rp.ntt(mm.u64(limbs_p)))
         return ptq, ptp
 

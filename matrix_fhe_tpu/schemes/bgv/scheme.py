@@ -57,9 +57,20 @@ class BGVParameters(rlwe.Parameters):
             xe=lit.xe, xs=lit.xs, ring_type=rg.STANDARD, ntt_flag=True))
         self.__dict__.update(base.__dict__)
         self.t = lit.t
-        if (self.t - 1) % (2 * self.n) != 0:
-            raise NotImplementedError("v1 requires T = 1 mod 2N (full SIMD slots)")
-        self.ring_t = rg.new_ring(self.n, [lit.t], rg.STANDARD)
+        # Largest power-of-two cyclotomic order enabled by T
+        # (params.go:111-123): T = 1 mod 2N gives the full N slots; smaller
+        # orders give a degree-(order/2) plaintext ring whose coefficients
+        # spread into R_Q with gap N/(order/2) (encoder.go RingT2Q).
+        order = 1 << self.t.bit_length()
+        while order and (self.t & (order - 1)) != 1:
+            order >>= 1
+        self.n_t = min(self.n, order >> 1)
+        if self.n_t < 16:
+            raise ValueError(
+                f"plaintext modulus {self.t} has cyclotomic order {order} "
+                f"< 32: the ring backend needs a plaintext ring degree of "
+                f"at least 16 (the reference's floor is 8)")
+        self.ring_t = rg.new_ring(self.n_t, [lit.t], rg.STANDARD)
         # Extended tensoring basis QMul (params.go:98-106).
         nb = math.ceil((self.big_q().bit_length() + lit.logn) / 61.0)
         g = pr.NTTFriendlyPrimesGenerator(61, self.nth_root)
@@ -101,25 +112,32 @@ def _permute_matrix(logn: int) -> np.ndarray:
 class Encoder:
     def __init__(self, params: BGVParameters):
         self.params = params
-        self.perm = _permute_matrix(params.log_n)
+        self.perm = _permute_matrix(params.n_t.bit_length() - 1)
         self.t = params.t
 
     def encode(self, values, level: int | None = None, scale: int = 1) -> Plaintext:
         params = self.params
         level = params.max_level if level is None else level
         t = self.t
-        vals = np.zeros(params.n, dtype=np.uint64)
+        vals = np.zeros(params.n_t, dtype=np.uint64)
         arr = np.asarray(values)
+        if len(arr) > params.n_t:
+            raise ValueError(f"{len(arr)} values > {params.n_t} slots "
+                             f"(plaintext ring degree for T={t})")
         vals[self.perm[: len(arr)]] = np.mod(arr, t).astype(np.uint64)
         # INTT over R_T, then * scale mod T (EncodeRingT :241-246)
         pt_t = params.ring_t.intt(mm.u64(vals[None, :]))
         if scale != 1:
             sc = jnp.array([(scale % t) * (1 << 64) % t], dtype=jnp.uint64)
             pt_t = params.ring_t.mul_scalar_montgomery(pt_t, sc)
-        # RingT2Q with scaleUp: spread to each q_i and multiply by T^{-1} mod Q
+        # RingT2Q with scaleUp (encoder.go:357-382): coefficients at gap
+        # N/n_t, then multiply by T^{-1} mod Q
         arr_t = np.asarray(pt_t)[0]
         moduli = params.q[: level + 1]
-        limbs = np.stack([arr_t % np.uint64(q) for q in moduli])
+        gap = params.n // params.n_t
+        spread = np.zeros(params.n, dtype=np.uint64)
+        spread[::gap] = arr_t
+        limbs = np.stack([spread % np.uint64(q) for q in moduli])
         ring = params.ring_q.at_level(level)
         tinv = jnp.array([pow(t, -1, q) * (1 << 64) % q for q in moduli],
                          dtype=jnp.uint64)
@@ -141,7 +159,9 @@ class Encoder:
         v = ring.mul_scalar_montgomery(v, tm)
         muc = rt.gen_modup_constants(params.q[: level + 1], [t])
         vt = rt.mod_up(v, muc, ring, params.ring_t, centered=True)
+        # gather the gap-spread coefficients (RingQ2T for n_t < N), then
         # NTT over R_T, un-permute, divide by scale mod T
+        vt = vt[..., :: params.n // params.n_t]
         vt = params.ring_t.ntt(vt)
         scale = int(pt.metadata.scale)
         if scale != 1:

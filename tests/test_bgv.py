@@ -180,3 +180,32 @@ def test_bgv_polynomial(ctx):
     got = _dec(ctx, out)
     want = (3 + v.astype(object) + 2 * v.astype(object) ** 2) % T
     np.testing.assert_array_equal(got.astype(object), want)
+
+
+def test_small_order_plaintext_modulus():
+    """T with cyclotomic order < 2N (params.go:111-123): the plaintext
+    ring drops to degree order/2 and coefficients spread into R_Q with a
+    gap (encoder.go RingT2Q).  T=97 has order 32, so N=64 gives 16 slots;
+    full homomorphic pipeline mod 97."""
+    t = 97
+    params = bgv.new_parameters(bgv.BGVParametersLiteral(
+        logn=6, t=t, logq=(45, 40, 40), logp=(50,)))
+    assert params.n_t == 16
+    enc = bgv.Encoder(params)
+    sk = K.gen_secret_key(jax.random.key(0), params)
+    rlk = K.gen_relinearization_key(jax.random.key(1), params, sk)
+    ev = bgv.Evaluator(params, rlk=rlk)
+    rng = np.random.default_rng(4)
+    v1 = rng.integers(0, t, params.n_t, dtype=np.uint64)
+    v2 = rng.integers(0, t, params.n_t, dtype=np.uint64)
+    ct1 = encryptor.encrypt(jax.random.key(2), params, sk, enc.encode(v1))
+    ct2 = encryptor.encrypt(jax.random.key(3), params, sk, enc.encode(v2))
+    got = enc.decode(decryptor.decrypt(
+        params, sk, ev.rescale(ev.mul_relin(ct1, ct2))))
+    want = (v1.astype(object) * v2) % t
+    np.testing.assert_array_equal(got.astype(object), want)
+
+    with pytest.raises(ValueError):
+        # order 2 (t-1 = 2 * odd) is far below the backend floor
+        bgv.new_parameters(bgv.BGVParametersLiteral(
+            logn=6, t=8191, logq=(45, 40), logp=(50,)))
