@@ -2,7 +2,9 @@
 pipeline stage (the whole-pipeline graph exceeds the remote-compile upload
 limit), a dozen launches per bootstrap instead of ~50k eager dispatches.
 
-Usage: python tools/probe_wboot_stage.py [logn]
+Usage: python tools/probe_wboot_stage.py [logn] [--wide61]
+  --wide61: use the reference-width pair31 preset (60-bit q0, 61-bit P,
+  58-bit C2S) instead of the 45/55-bit pair25 preset.
 """
 import json
 import sys
@@ -16,11 +18,14 @@ from matrix_fhe_tpu.fast import fboot, weval
 from matrix_fhe_tpu.rlwe import decryptor, encryptor, keys as K
 from matrix_fhe_tpu.rlwe.elements import Ciphertext
 
-logn = int(sys.argv[1]) if len(sys.argv) > 1 else 12
+args = [a for a in sys.argv[1:] if not a.startswith("-")]
+logn = int(args[0]) if args else 12
+wide61 = "--wide61" in sys.argv
 
 t0 = time.perf_counter()
 print("devices:", jax.devices())
-lit = fboot.wide_parameters_literal(logn, sparse_weight=32)
+lit = (fboot.wide61_parameters_literal(logn, sparse_weight=32) if wide61
+       else fboot.wide_parameters_literal(logn, sparse_weight=32))
 p = btp.Parameters(lit)
 params = p.params
 print(f"params: logN={logn} L={params.max_level} LP={len(params.p)} "
@@ -206,11 +211,31 @@ prec = -np.log2(np.maximum(err, 1e-17))
 print(f"precision: mean={prec.mean():.2f} min={prec.min():.2f} bits")
 
 art = {"bootstrap_per_s": round(1 / best, 4), "seconds": round(best, 3),
-       "logn": logn, "chain": "wide 45/55-bit", "slots": 1 << p.log_slots,
+       "logn": logn,
+       "chain": ("wide61 60/45/61-bit (pair31)" if wide61
+                 else "wide 45/55-bit (pair25)"),
+       "slots": 1 << p.log_slots,
        "precision_mean_bits": round(float(prec.mean()), 2),
        "precision_min_bits": round(float(prec.min()), 2),
        "backend": jax.default_backend(), "staging": "per-stage jit"}
-with open("BOOT_r05.json", "w") as f:
-    json.dump(art, f, indent=1)
+# merge: keep every run in "entries", headline = highest-logN entry
+import os
+path = "BOOT_r05.json"
+entries = []
+if os.path.exists(path):
+    with open(path) as f:
+        old = json.load(f)
+    entries = old.get("entries", [])
+    old.pop("entries", None)
+    if old and old not in entries:
+        entries.append(old)
+entries = [e for e in entries
+           if not (e["logn"] == logn and e["chain"] == art["chain"])]
+entries.append(dict(art))
+head = max(entries, key=lambda e: (e["logn"], e["bootstrap_per_s"]))
+head = dict(head)
+head["entries"] = entries
+with open(path, "w") as f:
+    json.dump(head, f, indent=1)
 print("wrote BOOT_r05.json")
 print(f"total [{time.perf_counter()-t0:.1f}s]")
