@@ -73,3 +73,33 @@ def test_wide_bootstrap_precision_logn12():
           f"min={prec.min():.2f} bits")
     assert prec.mean() >= 15.0
     assert prec.min() >= 5.0
+
+
+@pytest.mark.slow
+def test_wide61_bootstrap_bit_exact():
+    """The reference-width (60-bit q0 / 61-bit P / 58-bit C2S) pair31
+    preset through the full bootstrap pipeline, bit-exact vs the u64
+    pipeline on the same chain and keys."""
+    lit = fboot.wide61_parameters_literal(6, residual_levels=2,
+                                          sparse_weight=0)
+    p = btp.Parameters(lit)
+    params = p.params
+    from matrix_fhe_tpu.ops import wide
+    assert wide.use_pair31(list(params.q) + list(params.p))
+    sk = K.gen_secret_key(jax.random.key(0), params)
+    evk = btp.gen_evaluation_keys(jax.random.key(1), p, sk)
+    u64_ev = btp.Evaluator(p, evk)
+    wide_ev = fboot.make_wide_bootstrapper(p, evk)
+
+    rng = np.random.default_rng(1)
+    v = (rng.uniform(-1, 1, params.max_slots)
+         + 1j * rng.uniform(-1, 1, params.max_slots))
+    pt = u64_ev.enc.encode(v, level=p.residual_level)
+    ct = encryptor.encrypt(jax.random.key(3), params, sk, pt)
+
+    out_u64 = u64_ev.bootstrap(ct)
+    out_wide = wide_ev.bootstrap(weval.ct_to_wide(ct, params))
+    assert out_wide.scale == out_u64.scale
+    back = weval.ct_to_u64(out_wide, params)
+    for vw, vu in zip(back.value, out_u64.value):
+        np.testing.assert_array_equal(np.asarray(vw), np.asarray(vu))
