@@ -68,10 +68,15 @@ class WideEncoder:
             metadata=pt.metadata)
 
     def decode(self, pt: Plaintext) -> np.ndarray:
-        lq = pt.value.shape[-2]
+        v = np.asarray(pt.value)
+        if v.dtype != np.int32:
+            # already a u64 plaintext (e.g. decrypted from a ct_to_u64'd
+            # ciphertext): decode directly — unpacking it as wide pairs
+            # would shred it
+            return self._u64.decode(pt)
+        lq = v.shape[-2]
         return self._u64.decode(Plaintext(
-            value=jnp.asarray(wide.unpack_pair(np.asarray(pt.value),
-                                               self.params.q[:lq],
+            value=jnp.asarray(wide.unpack_pair(v, self.params.q[:lq],
                                                _pair31(self.params))),
             metadata=pt.metadata))
 

@@ -65,7 +65,7 @@ def test_wide_bootstrap_precision_logn12():
 
     out = wide_ev.bootstrap(ct)
     assert out.level == p.residual_level
-    got = wide_ev.enc.decode(
+    got = wide_ev.enc._u64.decode(
         decryptor.decrypt(params, sk, weval.ct_to_u64(out, params)))
     err = np.abs(np.asarray(got).real[: len(v)] - v)
     prec = -np.log2(np.maximum(err, 1e-17))

@@ -204,7 +204,7 @@ for _ in range(3):
 print(f"bootstrap steady-state: {best:.3f}s -> {1/best:.3f} bootstraps/s "
       f"(logN={logn})")
 
-got = bts.enc.decode(
+got = bts.enc._u64.decode(
     decryptor.decrypt(params, sk, weval.ct_to_u64(out, params)))
 err = np.abs(np.asarray(got).real[: len(v)] - v)
 prec = -np.log2(np.maximum(err, 1e-17))
