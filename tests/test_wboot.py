@@ -59,7 +59,7 @@ def test_wide_bootstrap_precision_logn12():
 
     rng = np.random.default_rng(0)
     v = rng.uniform(-1, 1, params.max_slots)
-    pt = wide_ev.enc.encode(v, level=p.residual_level)
+    pt = wide_ev.enc._u64.encode(v, level=p.residual_level)
     ct = weval.ct_to_wide(
         encryptor.encrypt(jax.random.key(3), params, sk, pt), params)
 

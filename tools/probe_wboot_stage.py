@@ -184,7 +184,9 @@ print("building staged pipeline: first call compiles each stage",
       flush=True)
 rng = np.random.default_rng(0)
 v = rng.uniform(-1, 1, params.max_slots)
-pt = bts.enc.encode(v, level=p.residual_level)
+# encode with the U64 encoder: the u64 encryptor consumes u64 plaintexts
+# (the WideEncoder's pair-plaintext form is for the evaluator's internals)
+pt = bts.enc._u64.encode(v, level=p.residual_level)
 ct = weval.ct_to_wide(
     encryptor.encrypt(jax.random.key(3), params, sk, pt), params)
 print(f"encrypted [{time.perf_counter()-t0:.1f}s]", flush=True)
