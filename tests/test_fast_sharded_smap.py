@@ -28,7 +28,12 @@ def _mesh():
     return Mesh(np.array(jax.devices()[:8]), ("limb",))
 
 
-@pytest.fixture(scope="module", params=[1, 2, 3])
+@pytest.fixture(scope="module", params=[
+    pytest.param(1, marks=pytest.mark.slow),
+    2,          # alpha=2: real multi-limb hybrid digits + uneven tail —
+    #             the most general schedule; 1 and 3 add no new collective
+    #             structure and run in the slow suite
+    pytest.param(3, marks=pytest.mark.slow)])
 def setup(request):
     mesh = _mesh()
     num_p = request.param

@@ -12,7 +12,9 @@ from matrix_fhe_tpu.ops import modmath as mm, rings
 from matrix_fhe_tpu.utils import primes as pr
 
 
-@pytest.mark.parametrize("n", [12, 24, 48, 96, 192, 384])
+@pytest.mark.parametrize("n", [12, 24, 48, 96,
+                               pytest.param(192, marks=pytest.mark.slow),
+                               pytest.param(384, marks=pytest.mark.slow)])
 def test_factorized_matches_dense(n):
     moduli = pr.find_3n_rns_primes(n, 45, 2)
     ring = rings.new_ring(n, moduli, rings.MATRIX)
@@ -31,7 +33,8 @@ def test_factorized_matches_dense(n):
     np.testing.assert_array_equal(bwd, np.asarray(x))
 
 
-@pytest.mark.parametrize("n", [1152, 1536])
+@pytest.mark.parametrize("n", [1152,
+                               pytest.param(1536, marks=pytest.mark.slow)])
 def test_factorized_large_degree(n):
     """Degrees beyond the old N<=384 cap: exact roundtrip + the negacyclic
     ring-multiplication property vs a schoolbook big-int oracle."""
