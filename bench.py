@@ -118,6 +118,34 @@ def bench_ntt_u64(quick: bool) -> dict:
     return {"ntt_per_s": ntts_per_call / dt, "dt": dt}
 
 
+def bench_wide_ntt(quick: bool) -> dict:
+    """Wide (45/55-bit pair25) four-step MXU NTT throughput — the
+    production-width transform (ops/wide_ntt.py), previously unreported
+    (VERDICT r4 weak #3)."""
+    from matrix_fhe_tpu.fast import wckks
+    from matrix_fhe_tpu.ops import wide, wide_ntt
+
+    logn = 12 if quick else 14
+    limbs = 5 if quick else 7
+    batch = 2 if quick else 4
+    n = 1 << logn
+    from matrix_fhe_tpu.utils import primes as pr
+    g55 = pr.NTTFriendlyPrimesGenerator(55, 2 * n)
+    g45 = pr.NTTFriendlyPrimesGenerator(45, 2 * n)
+    moduli = [g55.next_alternating_prime()] + \
+        g45.next_alternating_primes(limbs - 1)
+    tabs = wide_ntt.build_tables(n, moduli)
+    import numpy as np
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(wide.pack_pair(np.stack(
+        [np.stack([rng.integers(0, q, n, dtype=np.uint64) for q in moduli])
+         for _ in range(batch)]), moduli))
+    fn = jax.jit(lambda a: wide_ntt.ntt_bwd(wide_ntt.ntt_fwd(a, tabs), tabs))
+    dt = _time_fn(fn, (x,), iters=3 if quick else 10)
+    per_call = 2 * batch * limbs
+    return {"wide_ntt_per_s": per_call / dt, "dt": dt, "logn": logn}
+
+
 def bench_ct_mult(quick: bool) -> dict:
     """Config 3: CKKS ct-mult + relinearize + rescale on the int32 fast path
     (PN14QP438-equivalent bit budget: 19 q-limbs + 3 p-limbs of ~22-bit
@@ -296,6 +324,12 @@ def main() -> None:
     ntt = bench_ntt(quick)
     print(f"ntt (pallas w22): {ntt}", file=sys.stderr)
     try:
+        wntt = bench_wide_ntt(quick)
+        print(f"ntt (wide 45/55-bit): {wntt}", file=sys.stderr)
+    except Exception as e:  # pragma: no cover
+        print(f"wide ntt bench failed: {e}", file=sys.stderr)
+        wntt = None
+    try:
         ntt64 = bench_ntt_u64(quick)
         print(f"ntt (u64 45-bit): {ntt64}", file=sys.stderr)
     except Exception as e:
@@ -363,6 +397,10 @@ def main() -> None:
     # roofline accounting vs the v5e chip peaks (speed-of-light audit)
     result["roofline_ntt"] = ntt_roofline(14, 1, ntt["ntt_per_s"],
                                           digit_planes=3)
+    if wntt is not None:
+        result["wide_ntt_per_s"] = round(wntt["wide_ntt_per_s"], 1)
+        result["roofline_wide_ntt"] = ntt_roofline(
+            wntt["logn"], 1, wntt["wide_ntt_per_s"], digit_planes=7)
     # measured-offline bootstrap number (the full pipeline takes ~10+ min of
     # keygen+compile, too slow to re-run inside every bench invocation;
     # tools/probe_wboot_stage.py writes the committed artifact).  A missing
