@@ -20,7 +20,7 @@ from matrix_fhe_tpu.ops import pallas_ntt2 as v2
 
 LOGN = 14
 N = 1 << LOGN
-B, L, K = 24, 10, 32          # bench.py fused-chain shape
+B, L, K = 24, 10, 500         # bench.py fused-chain shape (k=500)
 
 
 def timeit(fn, *args):
