@@ -217,13 +217,25 @@ def _mm_reduce(dig: jnp.ndarray, rhs: jnp.ndarray, qinv, qi) -> jnp.ndarray:
 
     mm column block p carries weight 2^{8p}; |mm| <= 3K*128^2 < 2^23 for
     K <= 170.  Horner: t = tighten(reduce(t*256 + mm_p)); the tighten keeps
-    |t*256| < 2^30.1 for q < 2^23."""
+    |t*256| < 2^30.1 for q < 2^23.
+
+    When the contraction is short enough that |mm2 << 8| + |mm1| <
+    2^30.7 — 3K * 2^14 * 257 < 2^31, i.e. 3K <= 507, which covers the
+    square four-step split up to R = C = 128 (logN <= 14) — the first
+    round runs directly on the raw matmul block, skipping one tighten
+    (the Horner recombination is ~50% of kernel time; this removes one
+    of its five rint rounds)."""
+    K3 = rhs.shape[0]
     Kp = rhs.shape[1] // 3
     mm = jax.lax.dot_general(
         dig, rhs, dimension_numbers=(((1,), (0,)), ((), ())),
         preferred_element_type=jnp.int32)  # [M, 3K']
-    t = _tighten(mm[:, 2 * Kp:], qinv, qi)               # exact f32: +-0.51q
-    t = _reduce((t << 8) + mm[:, Kp:2 * Kp], qinv, qi)
+    if K3 * 257 < (1 << 31) >> 14:
+        # |mm2 << 8 + mm1| <= 3K * 2^14 * 257 < 2^30.7: _reduce's exact domain
+        t = _reduce((mm[:, 2 * Kp:] << 8) + mm[:, Kp:2 * Kp], qinv, qi)
+    else:
+        t = _tighten(mm[:, 2 * Kp:], qinv, qi)           # exact f32: +-0.51q
+        t = _reduce((t << 8) + mm[:, Kp:2 * Kp], qinv, qi)
     t = _tighten(t, qinv, qi)
     t = _reduce((t << 8) + mm[:, :Kp], qinv, qi)
     return _tighten(t, qinv, qi)

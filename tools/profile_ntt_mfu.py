@@ -24,11 +24,14 @@ B, L, K = 24, 10, 500         # bench.py fused-chain shape (k=500)
 
 
 def timeit(fn, *args):
-    jax.block_until_ready(fn(*args))
+    # mirror bench.py exactly: an OUTER jit wrapper (the bare pallas-call
+    # partial's async completion misreports through the remote runtime)
+    jfn = jax.jit(lambda a: fn(a))
+    jax.block_until_ready(jfn(*args))
     best = float("inf")
-    for _ in range(5):
+    for _ in range(3):
         t0 = time.perf_counter()
-        jax.block_until_ready(fn(*args))
+        jax.block_until_ready(jfn(*args))
         best = min(best, time.perf_counter() - t0)
     return best
 
