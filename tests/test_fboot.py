@@ -62,6 +62,23 @@ def test_fast_bootstrap_matches_u64_digest(ctx):
     assert h.hexdigest() == U64_BOOT_DIGEST
 
 
+def test_fast_bootstrap_staged_digest(ctx):
+    """The per-stage-jitted driver (circuits/ckks/staged.py) must reproduce
+    the eager pipeline bit-for-bit: same digest as the eager fast/u64 runs
+    above (validates the staged form the TPU throughput artifact uses)."""
+    import hashlib
+    from matrix_fhe_tpu.circuits.ckks import staged
+    p, sk, evk, fast_ev = ctx
+    ct = _boot_input(p, sk, fast_ev.enc)
+    out = staged.StagedBootstrapper(fast_ev)(feval.ct_to_fast(ct))
+    assert out.level == p.residual_level
+    h = hashlib.sha256()
+    for vf in out.value:
+        h.update(np.ascontiguousarray(
+            np.asarray(feval.to_uint64(vf))).tobytes())
+    assert h.hexdigest() == U64_BOOT_DIGEST
+
+
 @pytest.mark.slow
 def test_fast_bootstrap_bit_exact(ctx):
     """The live two-pipeline form of the digest test (regenerates

@@ -1,8 +1,9 @@
 """Stage-wise-jitted wide bootstrap on the TPU: one compiled graph per
 pipeline stage (the whole-pipeline graph exceeds the remote-compile upload
 limit), a dozen launches per bootstrap instead of ~50k eager dispatches.
+The staging machinery is library code: circuits/ckks/staged.py.
 
-Usage: python tools/probe_wboot_stage.py [logn] [--wide61]
+Usage: python tools/probe_wboot_stage.py [logn] [--wide61] [--out PATH]
   --wide61: use the reference-width pair31 preset (60-bit q0, 61-bit P,
   58-bit C2S) instead of the 45/55-bit pair25 preset.
 """
@@ -13,14 +14,15 @@ import time
 import jax
 import numpy as np
 
-from matrix_fhe_tpu.circuits.ckks import bootstrapping as btp, dft, mod1
+from matrix_fhe_tpu.circuits.ckks import bootstrapping as btp, staged
 from matrix_fhe_tpu.fast import fboot, weval
 from matrix_fhe_tpu.rlwe import decryptor, encryptor, keys as K
-from matrix_fhe_tpu.rlwe.elements import Ciphertext
 
 args = [a for a in sys.argv[1:] if not a.startswith("-")]
 logn = int(args[0]) if args else 12
 wide61 = "--wide61" in sys.argv
+path = (sys.argv[sys.argv.index("--out") + 1] if "--out" in sys.argv
+        else "BOOT_r05.json")
 
 t0 = time.perf_counter()
 print("devices:", jax.devices())
@@ -35,153 +37,14 @@ sk = K.gen_secret_key(jax.random.key(0), params)
 evk = btp.gen_evaluation_keys(jax.random.key(1), p, sk)
 print(f"keys [{time.perf_counter()-t0:.1f}s]")
 bts = fboot.make_wide_bootstrapper(p, evk)
-ev = bts.ev
 print(f"evaluator [{time.perf_counter()-t0:.1f}s]")
 
+bootstrap_staged = staged.StagedBootstrapper(bts)
+bootstrap_staged.on_stage = \
+    lambda n: print(f"  stage {n} done [{time.perf_counter()-t0:.1f}s]",
+                    flush=True)
 
-def jit_ct(fn, n_in=1, n_out=1):
-    """Jit a Ciphertext-tuple function at the array level.
-
-    The evaluator's big device-resident state (wide context with all keys,
-    converted lintrans diagonals, encapsulation-key pairs) is threaded as
-    jit ARGUMENTS — closure-captured arrays would be inlined into the HLO
-    as constants, and the resulting compile payloads (100s of MB of keys)
-    exceed the remote-compile upload limit.  The evaluator's caches are
-    temporarily pointed at the traced pytrees during tracing."""
-    cache = {}
-
-    def wrapped(*cts):
-        key = tuple((c.level, c.scale, c.metadata.is_ntt, len(c.value))
-                    for c in cts)
-        state = (ev._ctx_cache[params.max_level], dict(ev._wlt_cache),
-                 dict(ev._evk_cache))
-        if key not in cache:
-            metas = [c.metadata for c in cts]
-            degs = [len(c.value) for c in cts]
-            holder = {}
-
-            def raw(ctx_top, wlt_cache, evk_cache, *flat):
-                saved = (ev._ctx_cache, ev._wlt_cache, ev._evk_cache)
-                ev._ctx_cache = {ctx_top.level: ctx_top}
-                ev._wlt_cache = wlt_cache
-                ev._evk_cache = evk_cache
-                try:
-                    ins = []
-                    i = 0
-                    for m, d in zip(metas, degs):
-                        ins.append(Ciphertext(value=tuple(flat[i:i + d]),
-                                              metadata=m))
-                        i += d
-                    outs = fn(*ins)
-                    if n_out == 1:
-                        outs = (outs,)
-                    holder["meta"] = [None if o is None else o.metadata
-                                      for o in outs]
-                    holder["deg"] = [0 if o is None else len(o.value)
-                                     for o in outs]
-                    flat_out = []
-                    for o in outs:
-                        if o is not None:
-                            flat_out.extend(o.value)
-                    return tuple(flat_out)
-                finally:
-                    ev._ctx_cache, ev._wlt_cache, ev._evk_cache = saved
-
-            cache[key] = (jax.jit(raw), holder)
-        f, holder = cache[key]
-        flat = [v for c in cts for v in c.value]
-        res = f(*state, *flat)
-        outs = []
-        i = 0
-        for m, d in zip(holder["meta"], holder["deg"]):
-            outs.append(None if m is None else
-                        Ciphertext(value=tuple(res[i:i + d]), metadata=m))
-            i += d
-        return outs[0] if n_out == 1 else tuple(outs)
-
-    return wrapped
-
-
-# -- staged pipeline ---------------------------------------------------------
-
-def head(ct):
-    ct = bts.scale_down(ct)
-    if bts.evk_dense_to_sparse is not None:
-        ct = ev.apply_evaluation_key(ct, bts.evk_dense_to_sparse)
-    return bts.mod_up(ct)
-
-
-c2s_mats = bts.c2s_matrix.matrices
-s2c_mats = bts.s2c_matrix.matrices
-lit_fmt = bts.c2s_matrix.literal
-
-
-def c2s_tail(zv):
-    from fractions import Fraction
-    ct_real = ev.conjugate(zv)
-    ct_imag = ev.mul_const_complex(ev.sub(zv, ct_real), -1j,
-                                   scale=Fraction(1))
-    ct_real = ev.add(ct_real, zv)
-    if (lit_fmt.format == dft.REPACK_IMAG_AS_REAL
-            and lit_fmt.log_slots < params.log_n - 1):
-        ct_imag = ev.rotate(ct_imag, 1 << lit_fmt.log_slots)
-        return ev.add(ct_real, ct_imag), ct_real  # second unused
-    return ct_real, ct_imag
-
-
-def s2c_head(ct_real, ct_imag):
-    from fractions import Fraction
-    return ev.add(ev.mul_const_complex(ct_imag, 1j, scale=Fraction(1)),
-                  ct_real)
-
-
-stage_head = jit_ct(head)
-stage_mat = [jit_ct(lambda c, m=m: ev.rescale(ev.evaluate_lintrans(c, m)))
-             for m in c2s_mats]
-stage_c2s_tail = jit_ct(c2s_tail, n_out=2)
-stage_evalmod = jit_ct(lambda c: bts.eval_mod(c))
-stage_s2c_head = jit_ct(s2c_head, n_in=2)
-stage_s2c = [jit_ct(lambda c, m=m: ev.rescale(ev.evaluate_lintrans(c, m)))
-             for m in s2c_mats]
-
-repack = (lit_fmt.format == dft.REPACK_IMAG_AS_REAL
-          and lit_fmt.log_slots < params.log_n - 1)
-
-
-_first = [True]
-
-
-def _tick(name):
-    if _first[0]:
-        print(f"  stage {name} done [{time.perf_counter()-t0:.1f}s]",
-              flush=True)
-
-
-def bootstrap_staged(ct):
-    ct = stage_head(ct)
-    _tick("head")
-    for i, s in enumerate(stage_mat):
-        ct = s(ct)
-        _tick(f"c2s[{i}]")
-    ct_real, ct_imag = stage_c2s_tail(ct)
-    _tick("c2s_tail")
-    if repack:
-        ct = stage_evalmod(ct_real)
-        _tick("evalmod")
-    else:
-        ct_real = stage_evalmod(ct_real)
-        ct_imag = stage_evalmod(ct_imag)
-        _tick("evalmod2")
-        ct = stage_s2c_head(ct_real, ct_imag)
-    for i, s in enumerate(stage_s2c):
-        ct = s(ct)
-        _tick(f"s2c[{i}]")
-    _first[0] = False
-    return ct
-
-
-print("building staged pipeline: first call compiles each stage",
-      flush=True)
+print("building staged pipeline: first call compiles each stage", flush=True)
 rng = np.random.default_rng(0)
 v = rng.uniform(-1, 1, params.max_slots)
 # encode with the U64 encoder: the u64 encryptor consumes u64 plaintexts
@@ -196,6 +59,7 @@ out = bootstrap_staged(ct)
 jax.block_until_ready(out.value)
 print(f"staged bootstrap compile+run: {time.perf_counter()-t1:.1f}s "
       f"[{time.perf_counter()-t0:.1f}s]")
+bootstrap_staged.on_stage = None
 
 best = float("inf")
 for _ in range(3):
@@ -222,7 +86,6 @@ art = {"bootstrap_per_s": round(1 / best, 4), "seconds": round(best, 3),
        "backend": jax.default_backend(), "staging": "per-stage jit"}
 # merge: keep every run in "entries", headline = highest-logN entry
 import os
-path = "BOOT_r05.json"
 entries = []
 if os.path.exists(path):
     with open(path) as f:
@@ -232,12 +95,14 @@ if os.path.exists(path):
     if old and old not in entries:
         entries.append(old)
 entries = [e for e in entries
-           if not (e["logn"] == logn and e["chain"] == art["chain"])]
+           if not (e["logn"] == logn and e["chain"] == art["chain"]
+                   and e["backend"] == art["backend"])]
 entries.append(dict(art))
-head = max(entries, key=lambda e: (e["logn"], e["bootstrap_per_s"]))
+head = max(entries, key=lambda e: (e["backend"] == "tpu", e["logn"],
+                                   e["bootstrap_per_s"]))
 head = dict(head)
 head["entries"] = entries
 with open(path, "w") as f:
     json.dump(head, f, indent=1)
-print("wrote BOOT_r05.json")
+print(f"wrote {path}")
 print(f"total [{time.perf_counter()-t0:.1f}s]")
